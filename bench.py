@@ -1,0 +1,87 @@
+"""Benchmark entry: full symmetric eigensolve on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The reference ships no stored numbers (BASELINE.md), so `vs_baseline` is
+the speedup of this framework over the incumbent on the same hardware —
+jax.numpy.linalg.eigh (XLA's built-in eigensolver) on an identical matrix.
+Beating it means a user gets a faster eigh by switching to this framework.
+
+Env knobs: BENCH_N (default 2048), BENCH_DTYPE (f32), BENCH_NB (64).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sym_rand(n, dtype):
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (n, n), dtype=jnp.float32)
+    a = (u + u.T).astype(dtype)
+    return a
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "2048"))
+    dtype = {"f32": jnp.float32, "f64": jnp.float64}[
+        os.environ.get("BENCH_DTYPE", "f32")
+    ]
+    nb = int(os.environ.get("BENCH_NB", "64"))
+
+    from eigenexa_tpu.runtime import SolverConfig, eigen_init
+    from eigenexa_tpu.solvers.solver import eigen_s
+    from eigenexa_tpu.testing.checks import orthogonality_check, residual_check
+
+    dev = jax.devices()[0]
+    ctx = eigen_init(
+        mesh=None,
+        config=SolverConfig(panel_forward=nb, panel_backward=128),
+    )
+
+    a = jax.device_put(_sym_rand(n, dtype), dev)
+
+    # our solver: warmup (compiles every panel shape), then timed run
+    w, z, info = eigen_s(a, ctx=ctx)
+    w, z, info = eigen_s(a, ctx=ctx)
+    t_ours = info.elapsed
+
+    # incumbent: jnp.linalg.eigh on the same chip
+    eigh = jax.jit(jnp.linalg.eigh)
+    wx, zx = eigh(a)
+    wx.block_until_ready()
+    t0 = time.perf_counter()
+    wx, zx = eigh(a)
+    wx.block_until_ready()
+    t_xla = time.perf_counter() - t0
+
+    r = residual_check(a, z, w)
+    o = orthogonality_check(z)
+    model_flops = (4.0 / 3.0 + 2.0) * n**3  # TRD + TRBAK models (ref counts)
+    print(
+        json.dumps(
+            {
+                "metric": f"eigh_n{n}_{jnp.dtype(dtype).name}_time",
+                "value": round(t_ours, 4),
+                "unit": "s",
+                "vs_baseline": round(t_xla / t_ours, 3),
+                "extra": {
+                    "xla_eigh_s": round(t_xla, 4),
+                    "model_gflops": round(model_flops / t_ours / 1e9, 1),
+                    "residual": round(r.value, 2),
+                    "orthogonality": round(o.value, 2),
+                    "residual_pass": bool(r.passed),
+                    "ortho_pass": bool(o.passed),
+                    "device": str(dev),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

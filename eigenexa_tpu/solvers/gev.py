@@ -1,0 +1,64 @@
+"""Generalized symmetric-definite eigensolver — KMATH_EIGEN_GEV analogue.
+
+Reference: src/KMATH_EIGEN_GEV.F:2 / KMATH_EIGEN_GEV_1.F:40-115.
+Algorithm (spectral reduction, not Cholesky — matching the reference):
+
+  1. eigen_s(B)               →  B = V_B·D_B·V_Bᵀ  (must be positive def.)
+  2. F = V_B·D_B^{-1/2}       (diag_mult, KMATH_EIGEN_GEV_misc.F:49)
+  3. A' = Fᵀ·A·F              (two distributed GEMMs — pdgemm in reference)
+  4. eigen_s(A')              →  A' = Z'·W·Z'ᵀ
+  5. Z = F·Z'                 (back-transform GEMM)
+
+Then A·Z = B·Z·W with Zᵀ·B·Z = I (B-orthonormal eigenvectors).
+The positive-definiteness check mirrors the reference's w(1)<=0 test
+(KMATH_EIGEN_GEV_1.F:47): the result is NaN-poisoned instead of aborting,
+consistent with the framework's fail-fast-with-NaN contract (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from eigenexa_tpu.solvers.solver import SolveInfo, eigen_s
+from eigenexa_tpu.runtime import EigenContext, default_context
+
+
+def eigen_gev(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    nvec: Optional[int] = None,
+    ctx: Optional[EigenContext] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, SolveInfo]:
+    """Solve A·x = λ·B·x for symmetric A and s.p.d. B.
+
+    Returns (w ascending, Z (n×nvec) B-orthonormal, SolveInfo).
+    """
+    ctx = ctx or default_context()
+    n = a.shape[0]
+    nvec = n if nvec is None else min(nvec, n)
+    t0 = time.perf_counter()
+
+    wb, vb, info_b = eigen_s(b, mode="A", ctx=ctx)
+    # positive-definiteness guard → NaN poison (reference aborts; we poison)
+    pd_ok = wb[0] > 0
+    safe_wb = jnp.where(wb > 0, wb, 1.0)
+    dinv_sqrt = jnp.where(pd_ok, 1.0 / jnp.sqrt(safe_wb), jnp.nan)
+    f = vb * dinv_sqrt[None, :]
+
+    a2 = f.T @ a @ f
+    a2 = 0.5 * (a2 + a2.T)  # re-symmetrize (floating-point congruence)
+    w, z2, info_a = eigen_s(a2, nvec=nvec, mode="A", ctx=ctx)
+    z = f @ z2
+    z = z.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    info = SolveInfo(
+        flops=info_b.flops + info_a.flops + 3 * 2.0 * n**3,
+        elapsed=elapsed,
+        n=n,
+        nvec=nvec,
+        mode="A",
+    )
+    return w, z, info

@@ -1,0 +1,86 @@
+"""Numerical acceptance checks with the reference's exact constants.
+
+Re-implements `ev_test` / `w_test` (reference: benchmark/ev_test.f:182-204,
+benchmark/w_test.f:141-175):
+
+  residual      ‖AZ−ZW‖_F / (N·ε·‖A‖_F)   PASS < 768, hard FAIL > 1024
+  orthogonality ‖ZᵀZ−I‖_F / (N·ε)         PASS < 8,   hard FAIL > 32
+  eigenvalues   max rel & abs error        PASS < √ε,  CAUTION < ε^{1/4}
+
+ε is taken from the dtype under test, so the same checks apply to f64 (CPU
+golden runs, matching the reference bit-for-bit in spirit) and f32/bf16
+(TPU runs) with appropriately scaled tolerances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class CheckResult:
+    name: str
+    value: float
+    passed: bool
+    hard_fail: bool
+    caution: bool = False
+
+    def __bool__(self):
+        return self.passed
+
+    def status(self) -> str:
+        if self.passed:
+            return "PASSED"
+        if self.caution:
+            return "CAUTION"
+        return "FAILED" + (" (hard)" if self.hard_fail else "")
+
+    def __repr__(self):
+        return f"<{self.name}: {self.value:.4g} {self.status()}>"
+
+
+def residual_check(a, z, w, nvec: Optional[int] = None) -> CheckResult:
+    """‖AZ−ZW‖_F / (N·ε·‖A‖_F) with PASS<768 / FAIL>1024
+    (reference: benchmark/ev_test.f:182-190)."""
+    n = a.shape[0]
+    if nvec is not None:
+        z = z[:, :nvec]
+        w = w[:nvec]
+    eps = float(jnp.finfo(a.dtype).eps)
+    r = a @ z - z * w[None, :]
+    num = jnp.linalg.norm(r)
+    den = n * eps * jnp.linalg.norm(a)
+    val = float(num / den)
+    return CheckResult("residual", val, val < 768.0, val > 1024.0)
+
+
+def orthogonality_check(z, nvec: Optional[int] = None) -> CheckResult:
+    """‖ZᵀZ−I‖_F / (N·ε) with PASS<8 / FAIL>32
+    (reference: benchmark/ev_test.f:196-204)."""
+    n = z.shape[0]
+    if nvec is not None:
+        z = z[:, :nvec]
+    eps = float(jnp.finfo(z.dtype).eps)
+    g = z.conj().T @ z - jnp.eye(z.shape[1], dtype=z.dtype)
+    val = float(jnp.linalg.norm(g) / (n * eps))
+    return CheckResult("orthogonality", val, val < 8.0, val > 32.0)
+
+
+def eigenvalue_check(w, w_true) -> CheckResult:
+    """max relative & absolute eigenvalue error vs known spectrum, both
+    ascending-sorted; PASS < √ε, CAUTION < ε^{1/4}
+    (reference: benchmark/w_test.f:141-175)."""
+    w = jnp.sort(jnp.asarray(w))
+    w_true = jnp.sort(jnp.asarray(w_true).astype(w.dtype))
+    eps = float(jnp.finfo(w.dtype).eps)
+    eps2, eps4 = eps ** 0.5, eps ** 0.25
+    abs_err = jnp.abs(w - w_true)
+    denom = jnp.abs(w_true)
+    rel_err = jnp.where(denom > eps, abs_err / jnp.maximum(denom, eps), 0.0)
+    val = float(jnp.maximum(jnp.max(abs_err), jnp.max(rel_err)))
+    return CheckResult(
+        "eigenvalues", val, val < eps2, val >= eps4, caution=val < eps4
+    )
