@@ -2,12 +2,10 @@
 
 Reference analogue: dc2_FS.F:75 → FS_EDC.F90 tree D&C (SURVEY.md §3.2).
 
-Round-1 status: this module currently provides the *oracle* path — a dense
-``jnp.linalg.eigh`` on the assembled tridiagonal — which the build plan
-(SURVEY.md §7 step 2) keeps permanently as the correctness oracle for the
-real mesh-recursive D&C with batched secular solves (eigenexa_tpu/solvers/
-dc_tree.py, in progress).  The facade dispatches to the tree solver once
-it lands; callers never change.
+This module is the dispatch facade: the default path is the batched tree
+D&C with secular solves (eigenexa_tpu/solvers/dc_tree.py); the dense
+``jnp.linalg.eigh`` oracle is kept permanently for cross-checks
+(SURVEY.md §7 step 2) and for backends where it wins at small n.
 """
 
 from __future__ import annotations
@@ -44,3 +42,12 @@ def solve_tridiag_dense(d: jnp.ndarray, e: jnp.ndarray
 def eigvals_tridiag_dense(d: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     t = assemble_tridiag(d, e)
     return jnp.linalg.eigvalsh(t)
+
+
+def solve_tridiag(d, e, leaf: int = 32, vec_dtype=None):
+    """Default reduced-problem solver: batched tree D&C (dc_tree.py).
+
+    Returns ascending (w float64-when-x64, S in vec_dtype)."""
+    from eigenexa_tpu.solvers.dc_tree import solve_tridiag_dc
+
+    return solve_tridiag_dc(d, e, leaf=leaf, vec_dtype=vec_dtype)

@@ -1,0 +1,210 @@
+"""Tree divide & conquer for the symmetric tridiagonal eigenproblem.
+
+TPU-native re-design of the reference's FS D&C subsystem
+(reference: dc2_FS.F:75 → FS_EDC.F90:70 → FS_PDLAED0.F90:62 binary merge
+tree; SURVEY.md §3.2).  Key design differences, deliberate and TPU-first:
+
+* **Bottom-up batched tree, not top-down recursion.**  The problem is
+  padded to leaf·2^L; every level is ONE vmapped merge over all pairs —
+  a single compiled program per level with static shapes, instead of the
+  reference's per-node MPI groups (FS_dividing.F90).
+* **Mask-based deflation.**  Deflated coordinates keep their slot (exact
+  unit eigenvector columns) — no dynamic K, no compaction.  We forgo the
+  deflation *flop savings* in the merge GEMM in exchange for dense,
+  perfectly-shaped MXU GEMMs; the numerical behavior matches dlaed2.
+* **Mixed precision.**  d/z/λ/secular math in f64 (ops/secular.py); the
+  O(m³) eigenvector GEMM cascade runs in the requested vector dtype
+  (f32 on TPU, f64 on CPU) — orthogonality comes from the Gu–Eisenstat
+  construction, not from GEMM precision.
+* Padding coordinates (d beyond n) carry zero coupling, so they deflate
+  exactly at every level and fall out of the final slice.
+
+Flop model: Σ_levels B·(2s)³-ish ≈ 4/3·n³ upper bound (no-deflation GEMM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eigenexa_tpu.ops.secular import rank1_merge_core
+
+F64 = jnp.float64
+
+
+def _pad_sizes(n: int, leaf: int) -> Tuple[int, int]:
+    """Smallest leaf·2^L ≥ n."""
+    levels = 0
+    m = leaf
+    while m < n:
+        m *= 2
+        levels += 1
+    return m, levels
+
+
+@functools.partial(jax.vmap, in_axes=(0, 0))
+def _leaf_eigh(d, e):
+    s = d.shape[0]
+    t = jnp.zeros((s, s), d.dtype) + jnp.diag(d)
+    t = t + jnp.diag(e, 1) + jnp.diag(e, -1)
+    return jnp.linalg.eigh(t)
+
+
+def _leaf_analytic2(db, eb):
+    """Closed-form batched 2×2 symmetric eigendecomposition.
+
+    Used on TPU where jnp.linalg.eigh has no usable f64 lowering (the axon
+    backend hangs compiling it); with leaf=2 the whole tree is merges, which
+    need only the secular machinery.  db: (B, 2), eb: (B, 1).
+    """
+    # Only +,*,/,sqrt — transcendentals (atan2/hypot/trig) are avoided
+    # because the backend's emulated-f64 lowerings of them are unusable.
+    from eigenexa_tpu.ops.secular import TINY
+
+    a = db[:, 0]
+    c = db[:, 1]
+    b = eb[:, 0]
+    half = 0.5 * (a + c)
+    hd = 0.5 * (a - c)
+    rad = jnp.sqrt(hd * hd + b * b)
+    # λ1 − a, cancellation-free: −b²/((c−a)/2 + rad) when c ≥ a
+    upper = jnp.maximum(-hd + rad, TINY)
+    l1ma = jnp.where(c >= a, -(b * b) / upper, -hd - rad)
+    w1 = a + l1ma
+    w2 = (a + c) - w1
+    w = jnp.stack([w1, w2], axis=1)                    # ascending
+    # eigenvector for λ1: (b, λ1−a) (never ~0 unless b=0 and a ≤ c)
+    vnorm = jnp.sqrt(b * b + l1ma * l1ma)
+    degen = vnorm < TINY
+    v0 = jnp.where(degen, 1.0, b / jnp.where(degen, 1.0, vnorm))
+    v1 = jnp.where(degen, 0.0, l1ma / jnp.where(degen, 1.0, vnorm))
+    # orthogonal partner (−v1, v0) pairs with λ2
+    q = jnp.stack(
+        [jnp.stack([v0, v1], axis=1), jnp.stack([-v1, v0], axis=1)],
+        axis=2,
+    )  # (B, 2, 2): q[:, :, 0] ~ w1, q[:, :, 1] ~ w2
+    return w, q
+
+
+def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter):
+    """One tree level: merge pairs (2b, 2b+1).
+
+    d: (B, s) sorted per block; q: (B, s, s) in vec_dtype; row0/row1:
+    (B, s) — first/last rows of each block's eigenvector matrix carried in
+    f64 so the rank-1 z-vectors keep full precision even when the O(m³)
+    eigenvector cascade runs in f32 (the mixed-precision contract);
+    rho: (B/2,) ≥ 0 couplings; sgn: (B/2,) sign applied to the right z.
+    Returns (d', q', row0', row1') with B/2 blocks of size 2s.
+    """
+    bsz, s = d.shape
+    d2 = d.reshape(bsz // 2, 2, s)
+    q2 = q.reshape(bsz // 2, 2, s, s)
+    r0 = row0.reshape(bsz // 2, 2, s)
+    r1 = row1.reshape(bsz // 2, 2, s)
+
+    def merge_one(dpair, qpair, r0p, r1p, rho_b, sgn_b):
+        dl, dr = dpair[0], dpair[1]
+        ql, qr = qpair[0], qpair[1]
+        dm = jnp.concatenate([dl, dr]).astype(F64)
+        z = jnp.concatenate([r1p[0], sgn_b * r0p[1]])  # f64 rows
+        core = rank1_merge_core(dm, z, rho_b, n_iter=n_iter)
+        # scatter rows of c back to pre-sort coordinate order, then apply
+        # the block-diagonal basis in two half-height GEMMs (dlaed3 shape)
+        c_unsorted = jnp.zeros_like(core.c).at[core.perm, :].set(core.c)
+        cu = c_unsorted.astype(vec_dtype)
+        top = ql @ cu[:s, :]
+        bot = qr @ cu[s:, :]
+        # propagate boundary rows in f64 (O(m²))
+        row0_new = r0p[0] @ c_unsorted[:s, :]
+        row1_new = r1p[1] @ c_unsorted[s:, :]
+        return core.lam, jnp.concatenate([top, bot], axis=0), row0_new, \
+            row1_new
+
+    lam, qm, r0n, r1n = jax.vmap(merge_one)(d2, q2, r0, r1, rho, sgn)
+    return lam, qm, r0n, r1n
+
+
+def solve_tridiag_dc(
+    d: jnp.ndarray,
+    e: jnp.ndarray,
+    leaf: int = 32,
+    vec_dtype=None,
+    n_iter: int = 40,
+    leaf_kind: str = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecomposition T = S·diag(w)·Sᵀ of the tridiagonal (d, e).
+
+    Returns ascending (w (n,), S (n, n)).  `vec_dtype` controls the GEMM
+    cascade precision (defaults to d.dtype); eigenvalues are always f64.
+
+    leaf_kind: 'eigh' (LAPACK-style dense leaves, CPU) or 'analytic2'
+    (closed-form 2×2 leaves; mandatory on TPU where the f64 eigh lowering
+    is unusable).  Default: auto by backend.
+    """
+    n = d.shape[0]
+    vec_dtype = vec_dtype or d.dtype
+    if n == 1:
+        return d.astype(F64), jnp.ones((1, 1), vec_dtype)
+    if leaf_kind is None:
+        leaf_kind = "eigh" if jax.default_backend() == "cpu" else "analytic2"
+    if leaf_kind == "analytic2":
+        leaf = 2
+    leaf = max(2, min(leaf, n))
+    m, levels = _pad_sizes(n, leaf)
+
+    d = d.astype(F64)
+    e = e.astype(F64)
+    # pad: decoupled ascending diagonal beyond n.  Pad values must be
+    # SCALE-RELATIVE: absolute-scale pads would inflate the deflation
+    # tolerances of any merge whose block mixes real and pad coordinates.
+    span = jnp.max(jnp.abs(d)) + (jnp.max(jnp.abs(e)) if n > 1 else 0.0)
+    base = jnp.maximum(span, jnp.finfo(F64).tiny)
+    d_pad = jnp.concatenate(
+        [d, 2.0 * base + (base / m) * jnp.arange(m - n, dtype=F64)]
+    )
+    e_pad = jnp.concatenate([e, jnp.zeros((m - n + 1,), F64)])  # len m
+
+    # cut couplings: boundary p couples (p-1, p) via e_pad[p-1]; every leaf
+    # boundary is cut at exactly one level.  Cuppen modification: subtract
+    # |e| from both adjacent diagonals at every cut.
+    cuts = np.arange(leaf, m, leaf)
+    rho_all = jnp.abs(e_pad[cuts - 1])
+    sgn_all = jnp.where(e_pad[cuts - 1] >= 0, 1.0, -1.0)
+    d_mod = d_pad
+    d_mod = d_mod.at[cuts - 1].add(-rho_all)
+    d_mod = d_mod.at[cuts].add(-rho_all)
+
+    # leaves
+    nblk = m // leaf
+    d_blocks = d_mod.reshape(nblk, leaf)
+    # intra-leaf e: block b uses e_pad[b·leaf + (0..leaf-2)]
+    e_idx = (
+        np.arange(nblk)[:, None] * leaf + np.arange(leaf - 1)[None, :]
+    )
+    e_blocks = e_pad[jnp.asarray(e_idx.reshape(-1))].reshape(nblk, leaf - 1)
+    if leaf_kind == "analytic2":
+        w, q = _leaf_analytic2(d_blocks, e_blocks)
+    else:
+        w, q = _leaf_eigh(d_blocks, e_blocks)
+    row0 = q[:, 0, :]          # f64 boundary rows before the cast
+    row1 = q[:, -1, :]
+    q = q.astype(vec_dtype)
+
+    # merge levels: level ℓ joins blocks of size leaf·2^ℓ at cut positions
+    # leaf·2^ℓ·(2b+1)
+    for lvl in range(levels):
+        s = leaf * (2**lvl)
+        cut_pos = np.arange(s, m, 2 * s)  # one cut per pair
+        rho = jnp.abs(e_pad[cut_pos - 1])
+        sgn = jnp.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0)
+        w, q, row0, row1 = _merge_level(
+            w, q, row0, row1, rho, sgn, vec_dtype, n_iter
+        )
+
+    w = w.reshape(m)
+    q = q.reshape(m, m)
+    return w[:n], q[:n, :n]

@@ -57,7 +57,7 @@ def eigen_h(
     if mode == "N":
         w = dc.eigvals_tridiag_dense(trd.d, trd.e) / sigma_r
     elif mode in ("A", "X", "T"):
-        w, s = dc.solve_tridiag_dense(trd.d, trd.e)
+        w, s = dc.solve_tridiag(trd.d, trd.e, vec_dtype=trd.d.dtype)
         w = w / sigma_r
         s = s[:, :nvec]
         if mode == "T":

@@ -91,7 +91,8 @@ def matrix_scaling(a: jnp.ndarray):
     return a * sigma, sigma
 
 
-def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int):
+def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
+                dc_leaf: int = 32):
     """Traceable solve body (jit-safe for fixed n/mode)."""
     n = a.shape[0]
     a_s, sigma = matrix_scaling(a)
@@ -101,8 +102,9 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int):
         w = dc.eigvals_tridiag_dense(trd.d, trd.e) / sigma
         return w, None
     if mode in ("A", "X", "T"):
-        w, s = dc.solve_tridiag_dense(trd.d, trd.e)
-        w = w / sigma
+        w, s = dc.solve_tridiag(trd.d, trd.e, leaf=dc_leaf,
+                                vec_dtype=a.dtype)
+        w = w / sigma  # stays f64 under x64 even for f32 input (by design)
         if mode == "T":
             return w, s[:, :nvec]
         z = back_transform(s[:, :nvec], trd.v, trd.tau, nb=nb_b)

@@ -1,0 +1,108 @@
+"""Tree D&C vs scipy/dense oracle (reference acceptance thresholds)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from eigenexa_tpu.solvers.dc_tree import solve_tridiag_dc
+from eigenexa_tpu.testing import checks
+
+
+def _tridiag(d, e):
+    return np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+
+
+def _check(d, e, leaf=8, vec_dtype=None, n_iter=40):
+    w, s = solve_tridiag_dc(
+        jnp.asarray(d), jnp.asarray(e), leaf=leaf, vec_dtype=vec_dtype,
+        n_iter=n_iter
+    )
+    w, s = np.asarray(w), np.asarray(s)
+    t = _tridiag(d, e)
+    w_ref = scipy.linalg.eigvalsh_tridiagonal(d, e)
+    n = len(d)
+    scale = max(np.abs(w_ref).max(), 1.0)
+    np.testing.assert_allclose(w, w_ref, atol=5e-14 * scale, rtol=1e-12)
+    tj = jnp.asarray(t, dtype=s.dtype)
+    r = checks.residual_check(tj, jnp.asarray(s), jnp.asarray(w, dtype=s.dtype))
+    o = checks.orthogonality_check(jnp.asarray(s))
+    assert r.passed, (n, r)
+    assert o.passed, (n, o)
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 31, 33, 64, 100])
+def test_random_tridiag(n):
+    rng = np.random.RandomState(n)
+    _check(rng.randn(n), rng.randn(n - 1))
+
+
+def test_leaf_larger_than_n():
+    rng = np.random.RandomState(0)
+    _check(rng.randn(12), rng.randn(11), leaf=32)
+
+
+def test_zero_couplings():
+    # decoupled blocks: heavy deflation path
+    rng = np.random.RandomState(1)
+    n = 32
+    e = rng.randn(n - 1)
+    e[7] = 0.0
+    e[15] = 0.0
+    e[16] = 0.0
+    _check(rng.randn(n), e)
+
+
+def test_degenerate_eigenvalues():
+    # multiplicity clusters -> exercises close-d run rotation
+    n = 48
+    d = np.repeat(np.array([1.0, 2.0, 3.0]), n // 3)
+    e = np.full(n - 1, 1e-3)
+    _check(d, e)
+
+
+def test_exact_duplicates_glued():
+    # identical decoupled copies: d has exact duplicates after first merges
+    rng = np.random.RandomState(2)
+    d1 = rng.randn(8)
+    e1 = rng.randn(7)
+    d = np.concatenate([d1, d1])
+    e = np.concatenate([e1, [0.0], e1])
+    _check(d, e, leaf=8)
+
+
+def test_tiny_and_huge_scales():
+    rng = np.random.RandomState(3)
+    n = 24
+    _check(rng.randn(n) * 1e8, rng.randn(n - 1) * 1e8)
+    _check(rng.randn(n) * 1e-8, rng.randn(n - 1) * 1e-8)
+
+
+def test_frank_tridiag_from_reduction():
+    # end-to-end shape: tridiagonalize Frank, solve T with the tree
+    from eigenexa_tpu.ops.householder import tridiagonalize
+    from eigenexa_tpu.testing.matgen import frank, frank_spectrum
+
+    n = 64
+    a = frank(n)
+    res = tridiagonalize(a, nb=16)
+    w, s = solve_tridiag_dc(res.d, res.e, leaf=16)
+    w_true = np.asarray(frank_spectrum(n))
+    np.testing.assert_allclose(np.asarray(w), w_true,
+                               atol=1e-9 * w_true.max())
+
+
+def test_f32_vector_dtype_mixed_precision():
+    rng = np.random.RandomState(5)
+    n = 64
+    d = rng.randn(n)
+    e = rng.randn(n - 1)
+    w, s = solve_tridiag_dc(jnp.asarray(d), jnp.asarray(e), leaf=16,
+                            vec_dtype=jnp.float32)
+    assert s.dtype == jnp.float32
+    # eigenvalues still f64-accurate
+    w_ref = scipy.linalg.eigvalsh_tridiagonal(d, e)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-12, rtol=1e-12)
+    # orthogonality at f32 threshold
+    o = checks.orthogonality_check(s)
+    assert o.passed, o
