@@ -16,7 +16,19 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# mixed-precision contract: secular/eigenvalue math runs in (emulated) f64
+# even when matrices are f32
+jax.config.update("jax_enable_x64", True)
+# the TPU backend's compile times are large for the D&C merge graphs; the
+# persistent cache amortizes them across runs/rounds
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 
 def _sym_rand(n, dtype):

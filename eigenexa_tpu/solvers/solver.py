@@ -99,11 +99,21 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     trd = tridiagonalize(a_s, nb=nb_f)
 
     if mode == "N":
-        w = dc.eigvals_tridiag_dense(trd.d, trd.e) / sigma
+        # eigenvalues only: Sturm bisection — no eigenvector work at all
+        # (reference: mode-N path through eigen_bisect, src/bisect.F:67)
+        from eigenexa_tpu.ops.sturm import eigvals_bisect
+
+        w = eigvals_bisect(trd.d, trd.e) / sigma
         return w, None
     if mode in ("A", "X", "T"):
         w, s = dc.solve_tridiag(trd.d, trd.e, leaf=dc_leaf,
                                 vec_dtype=a.dtype)
+        if mode == "X":
+            # bisection refinement of the D&C values (reference: mode-X
+            # refinement, bisect.F mode=1)
+            from eigenexa_tpu.ops.sturm import refine_eigenvalues
+
+            w = refine_eigenvalues(trd.d, trd.e, w)
         w = w / sigma  # stays f64 under x64 even for f32 input (by design)
         if mode == "T":
             return w, s[:, :nvec]
