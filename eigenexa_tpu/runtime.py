@@ -40,6 +40,9 @@ class SolverConfig:
                                  # 2=pentadiag (eigen_sx analogue)
     dc_min_leaf: int = 64        # smallest D&C subproblem solved directly
     use_pallas: bool = True      # enable Pallas kernels where available
+    matmul_precision: str = "highest"  # TPU f32 matmuls default to bf16
+                                 # passes; orthogonality needs full f32
+                                 # ("highest").  Relax per-stage later.
 
 
 @dataclasses.dataclass

@@ -90,6 +90,37 @@ def _leaf_analytic2(db, eb):
     return w, q
 
 
+def _host_leaf_eigh(db, eb):
+    """Host (scipy) leaf eigendecomposition — used when impl='host'."""
+    import scipy.linalg
+
+    db = np.asarray(db, np.float64)
+    eb = np.asarray(eb, np.float64)
+    bsz, s = db.shape
+    w = np.empty((bsz, s))
+    q = np.empty((bsz, s, s))
+    for b in range(bsz):
+        if s == 1:
+            w[b] = db[b]
+            q[b] = 1.0
+        else:
+            w[b], q[b] = scipy.linalg.eigh_tridiagonal(db[b], eb[b])
+    return w, q
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _apply_level_gemm(q2, cud, s: int):
+    """Batched block-diagonal basis application: the only device work of a
+    host-secular merge level (plain GEMMs — compiles fast everywhere)."""
+
+    def one(qpair, cub):
+        top = qpair[0] @ cub[:s, :]
+        bot = qpair[1] @ cub[s:, :]
+        return jnp.concatenate([top, bot], axis=0)
+
+    return jax.vmap(one)(q2, cud)
+
+
 def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter):
     """One tree level: merge pairs (2b, 2b+1).
 
@@ -128,6 +159,69 @@ def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter):
     return lam, qm, r0n, r1n
 
 
+def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
+    """Eager host-orchestrated tree: numpy secular merges (true f64, zero
+    device-compile cost) + jitted batched GEMM cascade on the device.
+
+    Used on backends where jitting the merge graph is impractical (axon
+    compiles it for tens of minutes) and callbacks are unsupported.  Not
+    traceable — called outside jit by the solver facade.
+    """
+    from eigenexa_tpu.solvers.dc_host import merge_batch_np
+
+    d = np.asarray(d, np.float64)
+    e = np.asarray(e, np.float64)
+    n = d.shape[0]
+    leaf = max(2, min(leaf, n))
+    m, levels = _pad_sizes(n, leaf)
+
+    span = np.abs(d).max() + (np.abs(e).max() if n > 1 else 0.0)
+    base = max(span, 1e-30)
+    d_pad = np.concatenate([d, 2.0 * base + (base / m) * np.arange(m - n)])
+    e_pad = np.concatenate([e, np.zeros(m - n + 1)])
+
+    cuts = np.arange(leaf, m, leaf)
+    rho_all = np.abs(e_pad[cuts - 1])
+    d_mod = d_pad.copy()
+    d_mod[cuts - 1] -= rho_all
+    d_mod[cuts] -= rho_all
+
+    nblk = m // leaf
+    d_blocks = d_mod.reshape(nblk, leaf)
+    e_idx = (np.arange(nblk)[:, None] * leaf
+             + np.arange(leaf - 1)[None, :]).reshape(-1)
+    e_blocks = e_pad[e_idx].reshape(nblk, leaf - 1)
+    w, q_np = _host_leaf_eigh(d_blocks, e_blocks)
+    row0 = q_np[:, 0, :].copy()
+    row1 = q_np[:, -1, :].copy()
+    np_vdt = np.dtype(vec_dtype)
+    q = jnp.asarray(q_np.astype(np_vdt))
+
+    for lvl in range(levels):
+        s = leaf * (2**lvl)
+        bsz = w.shape[0]
+        cut_pos = np.arange(s, m, 2 * s)
+        rho = np.abs(e_pad[cut_pos - 1])
+        sgn = np.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0)
+        d2 = w.reshape(bsz // 2, 2 * s)
+        r0 = row0.reshape(bsz // 2, 2, s)
+        r1 = row1.reshape(bsz // 2, 2, s)
+        z = np.concatenate([r1[:, 0, :], sgn[:, None] * r0[:, 1, :]], axis=1)
+        # the middle-way iteration is cubic; 16 safeguarded steps reach f64
+        # roundoff — don't pay the jitted path's conservative default here
+        lam, cu = merge_batch_np(d2, z, rho, min(n_iter, 16))
+        cud = jnp.asarray(cu.astype(np_vdt))  # cast on host: halves PCIe
+        q2 = q.reshape(bsz // 2, 2, s, s)
+        q = _apply_level_gemm(q2, cud, s)
+        row0 = np.einsum("bs,bsm->bm", r0[:, 0, :], cu[:, :s, :])
+        row1 = np.einsum("bs,bsm->bm", r1[:, 1, :], cu[:, s:, :])
+        w = lam
+
+    w = w.reshape(m)
+    q = q.reshape(m, m)
+    return jnp.asarray(w[:n]), q[:n, :n]
+
+
 def solve_tridiag_dc(
     d: jnp.ndarray,
     e: jnp.ndarray,
@@ -135,22 +229,31 @@ def solve_tridiag_dc(
     vec_dtype=None,
     n_iter: int = 40,
     leaf_kind: str = None,
+    impl: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition T = S·diag(w)·Sᵀ of the tridiagonal (d, e).
 
     Returns ascending (w (n,), S (n, n)).  `vec_dtype` controls the GEMM
     cascade precision (defaults to d.dtype); eigenvalues are always f64.
 
-    leaf_kind: 'eigh' (LAPACK-style dense leaves, CPU) or 'analytic2'
-    (closed-form 2×2 leaves; mandatory on TPU where the f64 eigh lowering
-    is unusable).  Default: auto by backend.
+    leaf_kind: 'eigh' (LAPACK-style dense leaves) or 'analytic2'
+    (closed-form 2×2 leaves) — jax impl only.
+    impl: 'jax' (fully jitted merges — CPU default; jit-traceable) or
+    'host' (eager: numpy secular core on host, device GEMM cascade —
+    default on TPU, where jitting the merge graph has pathological compile
+    times and callbacks are unsupported; NOT traceable under jit).
     """
     n = d.shape[0]
     vec_dtype = vec_dtype or d.dtype
     if n == 1:
         return d.astype(F64), jnp.ones((1, 1), vec_dtype)
+    on_cpu = jax.default_backend() == "cpu"
+    if impl is None:
+        impl = "jax" if on_cpu else "host"
+    if impl == "host":
+        return _solve_tridiag_host(d, e, leaf, vec_dtype, n_iter)
     if leaf_kind is None:
-        leaf_kind = "eigh" if jax.default_backend() == "cpu" else "analytic2"
+        leaf_kind = "eigh" if on_cpu else "analytic2"
     if leaf_kind == "analytic2":
         leaf = 2
     leaf = max(2, min(leaf, n))
@@ -201,7 +304,8 @@ def solve_tridiag_dc(
         cut_pos = np.arange(s, m, 2 * s)  # one cut per pair
         rho = jnp.abs(e_pad[cut_pos - 1])
         sgn = jnp.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0)
-        w, q, row0, row1 = _merge_level(
+        level_fn = _merge_level_host if impl == "host" else _merge_level
+        w, q, row0, row1 = level_fn(
             w, q, row0, row1, rho, sgn, vec_dtype, n_iter
         )
 

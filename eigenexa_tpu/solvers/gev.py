@@ -41,17 +41,22 @@ def eigen_gev(
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
 
+    import jax
+
     wb, vb, info_b = eigen_s(b, mode="A", ctx=ctx)
     # positive-definiteness guard → NaN poison (reference aborts; we poison)
     pd_ok = wb[0] > 0
-    safe_wb = jnp.where(wb > 0, wb, 1.0)
-    dinv_sqrt = jnp.where(pd_ok, 1.0 / jnp.sqrt(safe_wb), jnp.nan)
-    f = vb * dinv_sqrt[None, :]
+    with jax.default_matmul_precision(ctx.config.matmul_precision):
+        safe_wb = jnp.where(wb > 0, wb, 1.0)
+        dinv_sqrt = jnp.where(
+            pd_ok, 1.0 / jnp.sqrt(safe_wb), jnp.nan
+        ).astype(a.dtype)
+        f = vb * dinv_sqrt[None, :]
 
-    a2 = f.T @ a @ f
-    a2 = 0.5 * (a2 + a2.T)  # re-symmetrize (floating-point congruence)
-    w, z2, info_a = eigen_s(a2, nvec=nvec, mode="A", ctx=ctx)
-    z = f @ z2
+        a2 = f.T @ a @ f
+        a2 = 0.5 * (a2 + a2.T)  # re-symmetrize (fp congruence)
+        w, z2, info_a = eigen_s(a2, nvec=nvec, mode="A", ctx=ctx)
+        z = f @ z2
     z = z.block_until_ready()
     elapsed = time.perf_counter() - t0
     info = SolveInfo(

@@ -49,33 +49,36 @@ def eigen_h(
     cfg = ctx.config
     t0 = time.perf_counter()
 
-    a_s, sigma = matrix_scaling(a)
-    sigma_r = jnp.real(sigma)
-    trd = tridiagonalize(a_s, nb=cfg.panel_forward)
+    import jax
 
     z = None
-    if mode == "N":
-        w = dc.eigvals_tridiag_dense(trd.d, trd.e) / sigma_r
-    elif mode in ("A", "X", "T"):
-        w, s = dc.solve_tridiag(trd.d, trd.e, vec_dtype=trd.d.dtype)
-        w = w / sigma_r
-        s = s[:, :nvec]
-        if mode == "T":
-            z = s.astype(a.dtype)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        a_s, sigma = matrix_scaling(a)
+        sigma_r = jnp.real(sigma)
+        trd = tridiagonalize(a_s, nb=cfg.panel_forward)
+
+        if mode == "N":
+            w = dc.eigvals_tridiag_dense(trd.d, trd.e) / sigma_r
+        elif mode in ("A", "X", "T"):
+            w, s = dc.solve_tridiag(trd.d, trd.e, vec_dtype=trd.d.dtype)
+            w = w / sigma_r
+            s = s[:, :nvec]
+            if mode == "T":
+                z = s.astype(a.dtype)
+            else:
+                # convert_DtoZ analogue (src/eigen_h.F:294): real S →
+                # complex, then the complex WY back-transform
+                z = back_transform(s.astype(a.dtype), trd.v, trd.tau,
+                                   nb=cfg.panel_backward)
+        elif mode == "S":
+            eye = jnp.eye(n, nvec, dtype=a.dtype)
+            z = back_transform(eye, trd.v, trd.tau, nb=cfg.panel_backward)
+            w = trd.d / sigma_r
+        elif mode == "C":
+            w = trd.d / sigma_r
+            z = jnp.eye(n, nvec, dtype=a.dtype)
         else:
-            # convert_DtoZ analogue (src/eigen_h.F:294): real S → complex,
-            # then the complex WY back-transform
-            z = back_transform(s.astype(a.dtype), trd.v, trd.tau,
-                               nb=cfg.panel_backward)
-    elif mode == "S":
-        eye = jnp.eye(n, nvec, dtype=a.dtype)
-        z = back_transform(eye, trd.v, trd.tau, nb=cfg.panel_backward)
-        w = trd.d / sigma_r
-    elif mode == "C":
-        w = trd.d / sigma_r
-        z = jnp.eye(n, nvec, dtype=a.dtype)
-    else:
-        raise ValueError(f"unknown mode {mode!r}")
+            raise ValueError(f"unknown mode {mode!r}")
 
     w = w.block_until_ready()
     elapsed = time.perf_counter() - t0

@@ -144,7 +144,11 @@ def eigen_s(
     mode = mode.upper()
     cfg = ctx.config
     t0 = time.perf_counter()
-    w, z = _solve_core(a, nvec, mode, cfg.panel_forward, cfg.panel_backward)
+    # TPU f32 matmuls default to bf16 MXU passes (~1e-2 orthogonality!);
+    # the solver's accuracy contract requires true-f32 accumulation.
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        w, z = _solve_core(a, nvec, mode, cfg.panel_forward,
+                           cfg.panel_backward)
     w = w.block_until_ready()
     elapsed = time.perf_counter() - t0
     info = SolveInfo(

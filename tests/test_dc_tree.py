@@ -106,3 +106,36 @@ def test_f32_vector_dtype_mixed_precision():
     # orthogonality at f32 threshold
     o = checks.orthogonality_check(s)
     assert o.passed, o
+
+
+def test_host_impl_matches_jax():
+    """The numpy (pure_callback) merge path must match the jitted path."""
+    rng = np.random.RandomState(9)
+    n = 50
+    d = rng.randn(n)
+    e = rng.randn(n - 1)
+    w1, s1 = solve_tridiag_dc(jnp.asarray(d), jnp.asarray(e), leaf=8,
+                              impl="jax")
+    w2, s2 = solve_tridiag_dc(jnp.asarray(d), jnp.asarray(e), leaf=8,
+                              impl="host")
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               atol=1e-13, rtol=1e-13)
+    # vectors can differ by sign only
+    dots = np.abs(np.sum(np.asarray(s1) * np.asarray(s2), axis=0))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-12)
+    t = _tridiag(d, e)
+    r = checks.residual_check(jnp.asarray(t), s2, w2.astype(jnp.float64))
+    o = checks.orthogonality_check(s2)
+    assert r.passed and o.passed, (r, o)
+
+
+def test_host_impl_degenerate():
+    n = 48
+    d = np.repeat(np.array([1.0, 2.0, 3.0]), 16)
+    e = np.full(n - 1, 1e-3)
+    w, s = solve_tridiag_dc(jnp.asarray(d), jnp.asarray(e), leaf=8,
+                            impl="host")
+    t = _tridiag(d, e)
+    r = checks.residual_check(jnp.asarray(t), s, w)
+    o = checks.orthogonality_check(s)
+    assert r.passed and o.passed, (r, o)
