@@ -1,0 +1,175 @@
+"""Input-file-driven benchmark runner — the `eigenexa_benchmark` analogue.
+
+Mirrors the reference benchmark program (reference: benchmark/main2.f:80):
+the same input-line format
+
+    N  nvec  bx  by  mode  matrix  solver  [check]
+
+    mode   : 0 eigenvalues only | 1 eigenpairs | 2 eigenpairs + eigenvalue
+             refinement  (main2.f maps these to driver modes N/A/X and the
+             stage-isolation letters via `nall` — :243-258)
+    matrix : 0..10 (see testing/matgen.py), lines starting with '!' are
+             comments
+    solver : 0 eigen_sx | 1 eigen_s
+
+and the same report: config, timing, model GFLOPS, comm fraction, and
+PASS/CAUTION/FAIL lines from the ev_test/w_test acceptance checks.
+
+Usage:  python -m eigenexa_tpu.bench.runner [-f INPUT] [-n N] [--mtype K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+import eigenexa_tpu as ex
+from eigenexa_tpu.runtime import SolverConfig
+from eigenexa_tpu.testing import (
+    MATRIX_TYPES,
+    eigenvalue_check,
+    mat_set,
+    orthogonality_check,
+    residual_check,
+)
+
+MODE_MAP = {0: "N", 1: "A", 2: "X"}
+
+
+@dataclasses.dataclass
+class BenchCase:
+    n: int
+    nvec: int
+    bx: int = 64
+    by: int = 128
+    mode: int = 1
+    mtype: int = 0
+    solver: int = 1   # 0 = eigen_sx, 1 = eigen_s (reference convention)
+
+    @classmethod
+    def parse(cls, line: str) -> Optional["BenchCase"]:
+        line = line.strip()
+        if not line or line.startswith("!") or line.startswith("#"):
+            return None
+        parts = line.split()
+        vals = [int(p) for p in parts[:7]]
+        if vals[0] <= 0:
+            return None  # reference: N<=0 terminates the loop (main2.f)
+        while len(vals) < 7:
+            vals.append([0, 0, 64, 128, 1, 0, 1][len(vals)])
+        return cls(n=vals[0], nvec=vals[1] or vals[0], bx=vals[2] or 64,
+                   by=vals[3] or 128, mode=vals[4], mtype=vals[5],
+                   solver=vals[6])
+
+
+def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
+             printer=print) -> dict:
+    """Run one benchmark line; returns the structured report dict
+    (the reference prints this block from main2.f:420-480)."""
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    ctx = ctx or ex.eigen_init(config=SolverConfig(
+        panel_forward=case.bx, panel_backward=case.by))
+    mode = MODE_MAP.get(case.mode, "A")
+    a, w_true = mat_set(case.n, case.mtype, dtype=dtype, w_file=w_file)
+    solver_fn = ex.eigen_sx if case.solver == 0 else ex.eigen_s
+    solver_name = "eigen_sx" if case.solver == 0 else "eigen_s"
+
+    w, z, info = solver_fn(a, nvec=case.nvec, mode=mode, ctx=ctx)
+
+    report = {
+        "n": case.n,
+        "nvec": case.nvec,
+        "mode": mode,
+        "matrix": MATRIX_TYPES.get(case.mtype, str(case.mtype)),
+        "solver": solver_name,
+        "grid": f"{ctx.x_nnod}x{ctx.y_nnod}",
+        "dtype": jnp.dtype(dtype).name,
+        "elapsed_s": round(info.elapsed, 4),
+        "model_flops": info.flops,
+        "model_gflops": round(info.gflops, 2),
+        "comm_s": info.comm_time,
+        "checks": {},
+    }
+    # ev_test / w_test (reference: benchmark/ev_test.f, w_test.f)
+    hard_fail = False
+    if z is not None and mode in ("A", "X"):
+        a_check, _ = mat_set(case.n, case.mtype, dtype=dtype, w_file=w_file)
+        r = residual_check(a_check, z, w, case.nvec)
+        o = orthogonality_check(z, case.nvec)
+        report["checks"]["residual"] = {"value": r.value,
+                                        "status": r.status()}
+        report["checks"]["orthogonality"] = {"value": o.value,
+                                             "status": o.status()}
+        hard_fail |= r.hard_fail or o.hard_fail
+    if w_true is not None:
+        e_chk = eigenvalue_check(w, w_true)
+        report["checks"]["eigenvalues"] = {"value": e_chk.value,
+                                           "status": e_chk.status()}
+
+    if printer is not None:
+        printer(f"--- {solver_name}  N={case.n} nvec={case.nvec} "
+                f"mode={mode} matrix={report['matrix']} "
+                f"grid={report['grid']} dtype={report['dtype']}")
+        printer(f"    elapsed {report['elapsed_s']} s   "
+                f"model {report['model_gflops']} GFLOP/s")
+        for name, chk in report["checks"].items():
+            printer(f"    *** {name:13s} *** : {chk['status']}  "
+                    f"({chk['value']:.4g})")
+    report["hard_fail"] = hard_fail
+    return report
+
+
+def run_input_file(path: str, ctx=None, dtype=None, printer=print):
+    """Loop over benchmark input lines (reference: main2.f input loop).
+    Returns list of reports; raises SystemExit on a hard accuracy failure
+    (the reference calls MPI_Abort, ev_test.f:215)."""
+    reports = []
+    with open(path) as f:
+        for line in f:
+            case = BenchCase.parse(line)
+            if case is None:
+                continue
+            rep = run_case(case, ctx=ctx, dtype=dtype, printer=printer)
+            reports.append(rep)
+            if rep["hard_fail"]:
+                raise SystemExit("hard accuracy failure — aborting "
+                                 "(reference behavior: ev_test MPI_Abort)")
+    return reports
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-f", "--input", help="benchmark input file (IN format)")
+    p.add_argument("-n", type=int, default=1000)
+    p.add_argument("--nvec", type=int, default=0)
+    p.add_argument("--mode", type=int, default=1, choices=[0, 1, 2])
+    p.add_argument("--mtype", type=int, default=0)
+    p.add_argument("--solver", type=int, default=1, choices=[0, 1])
+    p.add_argument("--f64", action="store_true",
+                   help="force float64 (enables x64)")
+    p.add_argument("-L", "--list-matrices", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.list_matrices:
+        for k, v in MATRIX_TYPES.items():
+            print(f"  {k:3d} : {v}")
+        return 0
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    if args.input:
+        run_input_file(args.input)
+    else:
+        case = BenchCase(n=args.n, nvec=args.nvec or args.n, mode=args.mode,
+                         mtype=args.mtype, solver=args.solver)
+        run_case(case)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,7 +183,12 @@ def _remainder_step(b, m: int):
     return u_p, w_p, tau_p, e_p, diag
 
 
-def tridiagonalize(a: jnp.ndarray, nb: int = 64) -> TridiagResult:
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tridiagonalize(a: jnp.ndarray, nb: int = 64,
+                   bucket: int = 0) -> TridiagResult:
     """Reduce symmetric/Hermitian A (n×n) to real tridiagonal T = Qᴴ A Q.
 
     Q = H_0·H_1·…·H_{n-3}; reflector k is stored in column k of the
@@ -191,7 +196,12 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64) -> TridiagResult:
     (real) / src/eigen_hrd.F:1 (complex).
 
     The panel loop runs in Python so each trailing slice has a static
-    shape; each distinct shape compiles once (the per-panel jit above).
+    shape.  Trailing sizes are BUCKETED (rounded up to `bucket`, default
+    max(4·nb, n/8)) with zero padding — the panel math is transparent to
+    trailing zeros, so this trades ≲12% extra GEMM flops for ~8× fewer
+    compiled shapes, which matters enormously on backends with slow
+    compiles (reference contrast: cyclic(1) MPI ranks never re-"compile",
+    but an XLA program is per-shape).
     """
     n = a.shape[0]
     dtype = a.dtype
@@ -200,20 +210,34 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64) -> TridiagResult:
     e = jnp.zeros((max(n - 1, 1),), rdtype)
     v_full = jnp.zeros((n, n), dtype)
     tau_full = jnp.zeros((n,), dtype)
+    if bucket <= 0:
+        bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
 
+    # padded working matrix: trailing block at top-left, zeros beyond
+    m_act = n
+    mb = _round_up(m_act, bucket)
     b = a
+    if mb > n:
+        b = jnp.zeros((mb, mb), dtype).at[:n, :n].set(a)
+
     k = 0
-    while n - k > nb:
+    while m_act > nb:
+        mb = _round_up(m_act, bucket) if m_act > 4 * nb else m_act
+        if b.shape[0] > mb:
+            b = b[:mb, :mb]
         b, u_p, w_p, tau_p, e_p, diag = _tridiag_step(b, nb)
         d = lax.dynamic_update_slice(d, diag, (k,))
         e = lax.dynamic_update_slice(e, e_p, (k,))
-        v_full = v_full.at[k:, k : k + nb].set(u_p)
+        v_full = v_full.at[k:, k : k + nb].set(u_p[: n - k])
         tau_full = lax.dynamic_update_slice(tau_full, tau_p, (k,))
         k += nb
+        m_act -= nb
 
     # remainder block (m <= nb): factor its columns; no trailing update
     m = n - k
     if m > 1:
+        if b.shape[0] > m:
+            b = b[:m, :m]
         u_p, w_p, tau_p, e_p, diag = _remainder_step(b, m)
         d = lax.dynamic_update_slice(d, diag, (k,))
         e = lax.dynamic_update_slice(e, e_p[: m - 1], (k,))
