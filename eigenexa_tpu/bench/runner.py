@@ -38,7 +38,8 @@ from eigenexa_tpu.testing import (
     residual_check,
 )
 
-MODE_MAP = {0: "N", 1: "A", 2: "X"}
+# input `nall` 0..6 -> driver modes (reference: benchmark/main2.f:243-258)
+MODE_MAP = {0: "N", 1: "A", 2: "X", 3: "S", 4: "T", 5: "C", 6: "R"}
 
 
 @dataclasses.dataclass
@@ -77,10 +78,35 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
         panel_forward=case.bx, panel_backward=case.by))
     mode = MODE_MAP.get(case.mode, "A")
     a, w_true = mat_set(case.n, case.mtype, dtype=dtype, w_file=w_file)
-    solver_fn = ex.eigen_sx if case.solver == 0 else ex.eigen_s
-    solver_name = "eigen_sx" if case.solver == 0 else "eigen_s"
+    if case.solver == 0:
+        solver_fn, solver_name = ex.eigen_sx, "eigen_sx"
+    elif case.solver == 2:
+        solver_fn, solver_name = ex.eigen_h, "eigen_h"
+    else:
+        solver_fn, solver_name = ex.eigen_s, "eigen_s"
 
-    w, z, info = solver_fn(a, nvec=case.nvec, mode=mode, ctx=ctx)
+    if mode == "R" and solver_name != "eigen_h":
+        # stage-resume: reduce, dump D/E(/F) data, then solve D&C-only from
+        # the files (reference: eigen_sx.F:175-193 R-mode file protocol)
+        import tempfile
+
+        from eigenexa_tpu.utils.stageio import save_stage_data
+
+        with tempfile.TemporaryDirectory() as td:
+            if solver_name == "eigen_sx":
+                from eigenexa_tpu.ops.band import band2_reduce
+
+                red = band2_reduce(a, nb=case.bx)
+                save_stage_data(td, red.d, red.e1, red.e2)
+            else:
+                from eigenexa_tpu.ops.householder import tridiagonalize
+
+                red = tridiagonalize(a, nb=case.bx)
+                save_stage_data(td, red.d, red.e)
+            w, z, info = solver_fn(a, nvec=case.nvec, mode="R", ctx=ctx,
+                                   stage_data=td)
+    else:
+        w, z, info = solver_fn(a, nvec=case.nvec, mode=mode, ctx=ctx)
 
     report = {
         "n": case.n,
@@ -96,18 +122,22 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
         "comm_s": info.comm_time,
         "checks": {},
     }
-    # ev_test / w_test (reference: benchmark/ev_test.f, w_test.f)
+    # ev_test / w_test (reference: benchmark/ev_test.f, w_test.f);
+    # orthogonality also runs in the stage-isolation modes S/T/R
+    # (reference: ev_test.f:194-195)
     hard_fail = False
     if z is not None and mode in ("A", "X"):
         a_check, _ = mat_set(case.n, case.mtype, dtype=dtype, w_file=w_file)
         r = residual_check(a_check, z, w, case.nvec)
-        o = orthogonality_check(z, case.nvec)
         report["checks"]["residual"] = {"value": r.value,
                                         "status": r.status()}
+        hard_fail |= r.hard_fail
+    if z is not None and mode in ("A", "X", "S", "T", "R"):
+        o = orthogonality_check(z, case.nvec)
         report["checks"]["orthogonality"] = {"value": o.value,
                                              "status": o.status()}
-        hard_fail |= r.hard_fail or o.hard_fail
-    if w_true is not None:
+        hard_fail |= o.hard_fail
+    if w_true is not None and mode in ("N", "A", "X"):
         e_chk = eigenvalue_check(w, w_true)
         report["checks"]["eigenvalues"] = {"value": e_chk.value,
                                            "status": e_chk.status()}

@@ -1,0 +1,243 @@
+"""Blocked Householder band-2 (pentadiagonal) reduction — the PRD kernels.
+
+TPU-first re-design of the reference's penta-diagonalization family
+(reference: src/eigen_prd.F:80 driver with MBAND=2 columns per step
+`eigen_prd.F:424`, src/eigen_prd_t4x.F:83 two-column reflector generation
+(tall-skinny QR of the 2-column panel), src/eigen_prd_t2.F:90 PDSYMV2
+two-vector mat-vec, src/eigen_prd_t6_3.F compute_v with the 2x2 coupling
+matrix, src/eigen_prd_t5/t7/t8.F panel plumbing).
+
+This is the reduction behind ``eigen_sx`` (src/eigen_sx.F:30): dense
+symmetric A -> pentadiagonal P = Q^T A Q in ONE stage, processing two
+columns per step so the trailing update is a rank-4 (2x rank-2) GEMM —
+twice the arithmetic intensity per panel column of the tridiagonal path.
+
+Design (deliberate, TPU-idiomatic — mirrors ops/householder.py):
+
+* Pair recurrence inside a ``lax.fori_loop`` with static shapes; the two
+  reflectors of a pair are generated column-by-column (Householder QR of
+  the masked m x 2 panel — the eigen_prd_t4x TSQR analogue) and combined
+  into one block reflector H = I - V T V^H (2x2 T).
+* latrd-style U/W panels: after j pairs, A_cur = B - U W^H - W U^H with
+  the panel-start trailing matrix B frozen; the flops-dominant trailing
+  update is one dense rank-2nb GEMM pair on the MXU (eigen_common_2update,
+  src/eigen_t1.F:68, shared with TRD in the reference too).
+* Band entries (d, e1, e2) are extracted at panel end from
+  B - U W^H - W U^H — later reflectors cannot touch them (their masks start
+  two rows below), so the extraction is exact.
+* Reflector storage matches TridiagResult: column k of `v` holds the
+  reflector annihilating A[k+3:, k] (pivot row k+2, zeros in rows <= k+1),
+  so the WY back-transform (solvers/trbak.py) applies unchanged with
+  MBAND=2 semantics (reference: eigen_common_trbakwy handles iblk=1 or 2,
+  src/trbakwy4.F:77).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from eigenexa_tpu.ops.householder import householder_vector
+
+
+class BandResult(NamedTuple):
+    d: jnp.ndarray    # (n,)   real diagonal of the pentadiagonal P
+    e1: jnp.ndarray   # (n-1,) first sub-diagonal (real)
+    e2: jnp.ndarray   # (n-2,) second sub-diagonal (real)
+    v: jnp.ndarray    # (n, n) Householder vectors; column k zeroes
+                      #        A[k+3:, k] (pivot row k+2)
+    tau: jnp.ndarray  # (n,)   reflector scales (0 -> identity)
+
+
+def _pair_body(j, carry, b, nb):
+    """One 2-column step of the band-2 panel recurrence.
+
+    b: (m, m) trailing matrix frozen at panel start.
+    carry: (u_panel (m,nb), w_panel (m,nb), tau (nb,)).
+    Columns c0=2j, c0+1 see previous in-panel pairs through the U/W
+    correction (A_cur = B - U W^H - W U^H).
+    """
+    u_p, w_p, tau_p = carry
+    m = b.shape[0]
+    dtype = b.dtype
+    c0 = 2 * j
+
+    cols = lax.dynamic_slice(b, (0, c0), (m, 2))              # (m, 2)
+    w_rows = lax.dynamic_slice(w_p, (c0, 0), (2, nb))         # (2, nb)
+    u_rows = lax.dynamic_slice(u_p, (c0, 0), (2, nb))
+    cols = cols - u_p @ jnp.conj(w_rows).T - w_p @ jnp.conj(u_rows).T
+
+    idx = jnp.arange(m)
+    # reflector 0: zero rows >= c0+3 of column c0 (pivot row c0+2)
+    mask0 = idx > c0 + 1
+    v0, tau0, _ = householder_vector(cols[:, 0], mask0)
+    # apply H0^H to column c0+1, then reflector 1 with pivot row c0+3
+    c1 = cols[:, 1] - jnp.conj(tau0) * v0 * jnp.vdot(v0, cols[:, 1])
+    mask1 = idx > c0 + 2
+    v1, tau1, _ = householder_vector(c1, mask1)
+
+    v_pair = jnp.stack([v0, v1], axis=1)                      # (m, 2)
+    # H0·H1 = I − V·T·V^H  with upper-triangular 2x2 T
+    t01 = -tau0 * tau1 * jnp.vdot(v0, v1)
+    t = jnp.array([[1.0, 0.0], [0.0, 0.0]], dtype) * tau0 \
+        + jnp.array([[0.0, 0.0], [0.0, 1.0]], dtype) * tau1 \
+        + jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype) * t01
+
+    # P = A_cur · V · T  (the PDSYMV2 analogue: both vectors in one pass —
+    # reference: eigen_prd_au, src/eigen_prd_t2.F:90)
+    av = b @ v_pair \
+        - u_p @ (jnp.conj(w_p).T @ v_pair) \
+        - w_p @ (jnp.conj(u_p).T @ v_pair)
+    p = av @ t
+    # S = T^H V^H P (2x2 Hermitian);  W = P − ½·V·S  so that
+    # H^H A H = A − V W^H − W V^H   (the 2x2 coupling matrix `c` of
+    # eigen_prd_compute_v, reference: src/eigen_prd.F:363)
+    s = jnp.conj(t).T @ (jnp.conj(v_pair).T @ p)
+    w_pair = p - 0.5 * v_pair @ s
+
+    u_p = lax.dynamic_update_slice(u_p, v_pair, (0, c0))
+    w_p = lax.dynamic_update_slice(w_p, w_pair, (0, c0))
+    tau_p = lax.dynamic_update_slice(tau_p, jnp.stack([tau0, tau1]), (c0,))
+    return u_p, w_p, tau_p
+
+
+def band2_panel(b: jnp.ndarray, nb: int):
+    """Factor `nb` (even) columns of the trailing matrix b (m x m) as
+    band-2 reflector pairs.  Returns (u_panel, w_panel, tau)."""
+    m = b.shape[0]
+    dtype = b.dtype
+    init = (
+        jnp.zeros((m, nb), dtype),
+        jnp.zeros((m, nb), dtype),
+        jnp.zeros((nb,), dtype),
+    )
+    body = functools.partial(_pair_body, b=b, nb=nb)
+    return lax.fori_loop(0, nb // 2, body, init)
+
+
+def _extract_band(b, u_p, w_p, nb: int):
+    """(d, e1, e2) for the panel columns from A_cur = B − U W^H − W U^H.
+
+    Safe at panel end: later reflectors act on rows two below these
+    entries (the similarity transform preserves them exactly)."""
+    def corr(row_off):
+        # sum_l U[j+off,l]·conj(W[j,l]) + W[j+off,l]·conj(U[j,l]) for j<nb
+        u_hi = u_p[row_off:row_off + nb]
+        w_hi = w_p[row_off:row_off + nb]
+        return jnp.sum(
+            u_hi * jnp.conj(w_p[:nb]) + w_hi * jnp.conj(u_p[:nb]), axis=1
+        )
+
+    d = jnp.real(jnp.diagonal(b)[:nb] - corr(0))
+    e1 = jnp.real(jnp.diagonal(b, -1)[:nb] - corr(1))
+    e2 = jnp.real(jnp.diagonal(b, -2)[:nb] - corr(2))
+    return d, e1, e2
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _band2_step(b, nb: int):
+    """One panel + rank-2nb trailing update (the PRD analogue of
+    eigen_common_2update, src/eigen_t1.F:68)."""
+    u_p, w_p, tau_p = band2_panel(b, nb)
+    b2 = b[nb:, nb:]
+    b2 = b2 - u_p[nb:] @ jnp.conj(w_p[nb:]).T \
+        - w_p[nb:] @ jnp.conj(u_p[nb:]).T
+    d, e1, e2 = _extract_band(b, u_p, w_p, nb)
+    return b2, u_p, w_p, tau_p, d, e1, e2
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _band2_remainder(b, m: int):
+    """Final block: pad by two zero rows/cols so the (d,e1,e2) extraction
+    for the last columns stays in-bounds, factor everything."""
+    mp = b.shape[0]                       # m + pad (>= m + 2, even)
+    u_p, w_p, tau_p = band2_panel(b, mp - mp % 2)
+    d, e1, e2 = _extract_band(b, u_p, w_p, m)
+    return u_p, w_p, tau_p, d, e1, e2
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def band2_reduce(a: jnp.ndarray, nb: int = 64,
+                 bucket: int = 0) -> BandResult:
+    """Reduce symmetric/Hermitian A (n x n) to real pentadiagonal
+    P = Q^H A Q (driver analogue: src/eigen_prd.F:80 -> _stub:159 ->
+    _body:341).
+
+    Same bucketed-trailing-shape scheme as ops/householder.tridiagonalize:
+    the panel loop runs in Python with trailing sizes rounded up to
+    `bucket`, trading <~12% extra GEMM flops for ~8x fewer compiled shapes.
+    """
+    n = a.shape[0]
+    if nb % 2:
+        nb += 1
+    dtype = a.dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    d = jnp.zeros((n,), rdtype)
+    e1 = jnp.zeros((max(n - 1, 1),), rdtype)
+    e2 = jnp.zeros((max(n - 2, 1),), rdtype)
+    v_full = jnp.zeros((n, n), dtype)
+    tau_full = jnp.zeros((n,), dtype)
+    if bucket <= 0:
+        bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
+
+    m_act = n
+    mb = _round_up(m_act, bucket)
+    b = a
+    if mb > n:
+        b = jnp.zeros((mb, mb), dtype).at[:n, :n].set(a)
+
+    k = 0
+    while m_act > nb + 2:
+        mb = _round_up(m_act, bucket) if m_act > 4 * nb else _round_up(
+            m_act, 2)
+        if b.shape[0] > mb:
+            b = b[:mb, :mb]
+        elif b.shape[0] < mb:
+            bp = jnp.zeros((mb, mb), dtype)
+            b = bp.at[:b.shape[0], :b.shape[0]].set(b)
+        b, u_p, w_p, tau_p, d_p, e1_p, e2_p = _band2_step(b, nb)
+        d = lax.dynamic_update_slice(d, d_p, (k,))
+        e1 = lax.dynamic_update_slice(e1, e1_p, (k,))
+        e2 = lax.dynamic_update_slice(e2, e2_p, (k,))
+        v_full = v_full.at[k:, k : k + nb].set(u_p[: n - k])
+        tau_full = lax.dynamic_update_slice(tau_full, tau_p, (k,))
+        k += nb
+        m_act -= nb
+
+    # remainder (m <= nb+2): two zero pad rows/cols keep extraction
+    # in-bounds; masks make out-of-range reflectors exact no-ops
+    m = n - k
+    if m > 0:
+        mp = _round_up(m + 2, 2)
+        bp = jnp.zeros((mp, mp), dtype)
+        bp = bp.at[:m, :m].set(b[:m, :m])
+        u_p, w_p, tau_p, d_p, e1_p, e2_p = _band2_remainder(bp, m)
+        d = lax.dynamic_update_slice(d, d_p, (k,))
+        if n - k > 1:
+            e1 = lax.dynamic_update_slice(e1, e1_p[: m - 1], (k,))
+        if n - k > 2:
+            e2 = lax.dynamic_update_slice(e2, e2_p[: m - 2], (k,))
+        v_full = v_full.at[k:, k:].set(u_p[: n - k, : n - k])
+        tau_full = lax.dynamic_update_slice(tau_full, tau_p[:m], (k,))
+
+    return BandResult(d=d, e1=e1[: max(n - 1, 1)][: n - 1],
+                      e2=e2[: max(n - 2, 1)][: n - 2],
+                      v=v_full, tau=tau_full)
+
+
+def assemble_band2(d, e1, e2) -> jnp.ndarray:
+    """Dense pentadiagonal matrix from its three bands (test helper)."""
+    n = d.shape[0]
+    t = jnp.diag(d)
+    if n > 1:
+        t = t + jnp.diag(e1, 1) + jnp.diag(e1, -1)
+    if n > 2:
+        t = t + jnp.diag(e2, 2) + jnp.diag(e2, -2)
+    return t

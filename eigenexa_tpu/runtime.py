@@ -137,3 +137,17 @@ def eigen_get_id(ctx: Optional[EigenContext] = None):
 def eigen_get_matdims(n: int, ctx: Optional[EigenContext] = None):
     ctx = ctx or default_context()
     return ctx.matdims(n)
+
+
+def eigen_get_version():
+    """(version, date, codename) — reference: eigen_get_version /
+    eigen_show_version (src/eigen_libs0.F:29-48, :207)."""
+    from eigenexa_tpu import __version__, __codename__
+
+    return __version__, "2026-08-18", __codename__
+
+
+def eigen_show_version(printer=print):
+    v, date, name = eigen_get_version()
+    printer(f"eigenexa_tpu version {v} ({date}) '{name}' — "
+            f"TPU-native eigensolver framework")

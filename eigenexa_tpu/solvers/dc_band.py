@@ -1,0 +1,222 @@
+"""Divide & conquer for the symmetric PENTADIAGONAL eigenproblem.
+
+TPU-native re-design of the reference's banded D&C subsystem that powers
+``eigen_sx`` (reference: dcx.F:81 -> MY_PDSxEDC my_pdsxedc.F:27 with
+half-bandwidth HBW=2 -> MY_PDLAED0 my_pdlaed0.F:18, which performs HBW
+successive rank-1 merges per join; leaf solve via LAPACK_EIGEN2,
+src/lapack_eigen.F).
+
+Mathematical scheme (band-2 Cuppen): a cut at position p removes the three
+band entries crossing it — e1[p-1] = T[p-1,p], e2[p-2] = T[p-2,p],
+e2[p-1] = T[p-1,p+1].  The crossing block is restored by TWO symmetric
+rank-1 updates with small-support vectors
+
+    u1 = a·δ_{p-2} + b·δ_{p-1} + c·δ_p     (a·c = e2[p-2], b·c = e1[p-1])
+    u2 = f·δ_{p-1} + h·δ_{p+1}             (f·h = e2[p-1])
+
+so  T = blockdiag(T1', T2') + u1·u1ᵀ + u2·u2ᵀ, where T1'/T2' carry the
+compensating in-block modifications (d[p-2]-=a², d[p-1]-=b²+f², d[p]-=c²,
+d[p+1]-=h², e1[p-2]-=a·b).  Each join therefore runs the standard rank-1
+secular merge twice (dc_host.merge_batch_np), with the second z-vector
+expressed in the basis produced by the first merge.
+
+Like dc_tree's host path, the O(m²) secular/deflation math runs on the
+host in true f64 and only the O(m³) eigenvector GEMM cascades run on the
+device — two cascades per level here (one block-diagonal, one full),
+matching the reference's HBW-times-the-work structure.
+
+Boundary-row bookkeeping: each block carries its FIRST TWO and LAST TWO
+eigenvector rows in f64 (the band-2 generalization of dc_tree's
+row0/row1), which is exactly what the two z-vectors need.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eigenexa_tpu.solvers.dc_host import merge_batch
+
+F64 = jnp.float64
+
+
+def _pad_sizes(n: int, leaf: int) -> Tuple[int, int]:
+    levels = 0
+    m = leaf
+    while m < n:
+        m *= 2
+        levels += 1
+    return m, levels
+
+
+def _host_leaf_eigh_band2(db, e1b, e2b):
+    """Host leaf eigendecomposition of pentadiagonal blocks (scipy
+    eig_banded — the LAPACK_EIGEN2 analogue, src/lapack_eigen.F)."""
+    import scipy.linalg
+
+    bsz, s = db.shape
+    w = np.empty((bsz, s))
+    q = np.empty((bsz, s, s))
+    band = np.zeros((3, s))
+    for b in range(bsz):
+        band[0] = db[b]
+        if s > 1:
+            band[1, : s - 1] = e1b[b]
+        if s > 2:
+            band[2, : s - 2] = e2b[b]
+        w[b], q[b] = scipy.linalg.eig_banded(band[: min(3, s)], lower=True)
+    return w, q
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _apply_blockdiag_gemm(q2, cud, s: int):
+    """Q_pair <- blockdiag(Q_l, Q_r) @ C  (two half-height GEMMs)."""
+
+    def one(qpair, cub):
+        top = qpair[0] @ cub[:s, :]
+        bot = qpair[1] @ cub[s:, :]
+        return jnp.concatenate([top, bot], axis=0)
+
+    return jax.vmap(one)(q2, cud)
+
+
+@jax.jit
+def _apply_full_gemm(q, c2d):
+    """Q <- Q @ C2 (batched full GEMM for the second merge of each join)."""
+    return jnp.einsum("bij,bjk->bik", q, c2d)
+
+
+def _cut_vectors(e1_pad, e2_pad, p):
+    """(a, b, c, f, h) for the two rank-1 restore vectors at cut p
+    (vectorized over an array of cut positions)."""
+    th1 = e1_pad[p - 1]          # T[p-1, p]
+    th2a = e2_pad[p - 2]         # T[p-2, p]
+    th2b = e2_pad[p - 1]         # T[p-1, p+1]
+    mag = np.hypot(th1, th2a)
+    c = np.sqrt(mag)
+    safe = np.where(c > 0, c, 1.0)
+    a = np.where(c > 0, th2a / safe, 0.0)
+    b = np.where(c > 0, th1 / safe, 0.0)
+    f = np.sqrt(np.abs(th2b))
+    h = np.where(th2b >= 0, f, -f)
+    return a, b, c, f, h
+
+
+def solve_band2_dc(
+    d: jnp.ndarray,
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    leaf: int = 32,
+    vec_dtype=None,
+    n_iter: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecomposition T = S·diag(w)·Sᵀ of the pentadiagonal
+    (d, e1, e2).  Returns ascending (w (n,) f64, S (n, n) in vec_dtype)."""
+    vec_dtype = vec_dtype or d.dtype
+    d = np.asarray(d, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    n = d.shape[0]
+    if n == 1:
+        return jnp.asarray(d), jnp.ones((1, 1), vec_dtype)
+    leaf = max(4, min(leaf, n))
+    m, levels = _pad_sizes(n, leaf)
+
+    # pad with a decoupled, scale-relative ascending diagonal (see
+    # dc_tree.py for why pads must be scale-relative)
+    span = np.abs(d).max() + (np.abs(e1).max() if n > 1 else 0.0) \
+        + (np.abs(e2).max() if n > 2 else 0.0)
+    base = max(span, 1e-30)
+    d_pad = np.concatenate([d, 2.0 * base + (base / m) * np.arange(m - n)])
+    e1_pad = np.concatenate([e1, np.zeros(m - n + 1)])  # len m
+    e2_pad = np.concatenate([e2, np.zeros(m - n + 2)])  # len m
+
+    # all cuts (every leaf boundary is cut exactly once across the levels);
+    # apply the compensating in-block modifications up front
+    cuts = np.arange(leaf, m, leaf)
+    a_all, b_all, c_all, f_all, h_all = _cut_vectors(e1_pad, e2_pad, cuts)
+    d_mod = d_pad.copy()
+    e1_mod = e1_pad.copy()
+    d_mod[cuts - 2] -= a_all * a_all
+    d_mod[cuts - 1] -= b_all * b_all + f_all * f_all
+    d_mod[cuts] -= c_all * c_all
+    d_mod[cuts + 1] -= h_all * h_all
+    e1_mod[cuts - 2] -= a_all * b_all
+
+    # leaves (intra-block bands only)
+    nblk = m // leaf
+    d_blocks = d_mod.reshape(nblk, leaf)
+    i1 = (np.arange(nblk)[:, None] * leaf
+          + np.arange(leaf - 1)[None, :]).reshape(-1)
+    e1_blocks = e1_mod[i1].reshape(nblk, leaf - 1)
+    i2 = (np.arange(nblk)[:, None] * leaf
+          + np.arange(leaf - 2)[None, :]).reshape(-1)
+    e2_blocks = e2_pad[i2].reshape(nblk, leaf - 2)
+    w, q_np = _host_leaf_eigh_band2(d_blocks, e1_blocks, e2_blocks)
+
+    rows_lo = q_np[:, :2, :].copy()     # (B, 2, s) first two rows, f64
+    rows_hi = q_np[:, -2:, :].copy()    # (B, 2, s) last two rows, f64
+    np_vdt = np.dtype(vec_dtype)
+    q = jnp.asarray(q_np.astype(np_vdt))
+
+    for lvl in range(levels):
+        s = leaf * (2 ** lvl)
+        bsz = w.shape[0]
+        cut_pos = np.arange(s, m, 2 * s)          # one cut per pair
+        ci = (cut_pos // leaf) - 1                # index into *_all
+        a, b, c = a_all[ci], b_all[ci], c_all[ci]
+        f, h = f_all[ci], h_all[ci]
+
+        d2 = w.reshape(bsz // 2, 2 * s)
+        rl = rows_lo.reshape(bsz // 2, 2, 2, s)   # [pair, block01, row01, s]
+        rh = rows_hi.reshape(bsz // 2, 2, 2, s)
+
+        # ---- merge 1: u1 = a·δ_{p-2} + b·δ_{p-1} + c·δ_p ----------------
+        # rows p-2, p-1 = last two rows of LEFT block; row p = first row of
+        # RIGHT block (in the pair's 2s coordinates)
+        z1 = np.concatenate(
+            [a[:, None] * rh[:, 0, 0, :] + b[:, None] * rh[:, 0, 1, :],
+             c[:, None] * rl[:, 1, 0, :]], axis=1)
+        lam1, c1 = merge_batch(d2, z1, np.ones(bsz // 2), n_iter)
+
+        # boundary rows through merge 1 (host, O(s²) per pair)
+        def _through(rows_left, rows_right, cmat):
+            # rows_left: (B,2,s) occupying coords [:s]; rows_right coords
+            # [s:]; returns (B, 2, 2s) rows in the merged basis
+            top = np.einsum("bis,bsm->bim", rows_left, cmat[:, :s, :])
+            bot = np.einsum("bis,bsm->bim", rows_right, cmat[:, s:, :])
+            return top, bot
+
+        lo_l, _ = _through(rl[:, 0], np.zeros_like(rl[:, 0]), c1)
+        hi_l, _ = _through(rh[:, 0], np.zeros_like(rh[:, 0]), c1)
+        _, lo_r = _through(np.zeros_like(rl[:, 1]), rl[:, 1], c1)
+        _, hi_r = _through(np.zeros_like(rh[:, 1]), rh[:, 1], c1)
+        lo1 = lo_l + np.zeros_like(lo_l)   # rows 0,1 of pair through C1
+        hi1 = hi_r + np.zeros_like(hi_r)   # rows 2s-2, 2s-1 through C1
+        # row p-1 (= last row of left) and row p+1 (= 2nd row of right)
+        row_pm1 = hi_l[:, 1, :]
+        row_pp1 = lo_r[:, 1, :]
+
+        # ---- merge 2: u2 = f·δ_{p-1} + h·δ_{p+1} ------------------------
+        z2 = f[:, None] * row_pm1 + h[:, None] * row_pp1
+        lam2, c2 = merge_batch(lam1, z2, np.ones(bsz // 2), n_iter)
+
+        # device: two GEMM cascades (block-diag C1, then full C2)
+        cud = jnp.asarray(c1.astype(np_vdt))
+        c2d = jnp.asarray(c2.astype(np_vdt))
+        q2 = q.reshape(bsz // 2, 2, s, s)
+        q = _apply_blockdiag_gemm(q2, cud, s)
+        q = _apply_full_gemm(q, c2d)
+
+        # new boundary rows through C2 (host f64)
+        rows_lo = np.einsum("bis,bsm->bim", lo1, c2)
+        rows_hi = np.einsum("bis,bsm->bim", hi1, c2)
+        w = lam2
+
+    w = w.reshape(m)
+    q = q.reshape(m, m)
+    return jnp.asarray(w[:n]), q[:n, :n]

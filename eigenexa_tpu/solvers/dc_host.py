@@ -204,6 +204,18 @@ def merge_core_np(d, z, rho, n_iter: int = 12):
     return lam[order], c[:, order], perm
 
 
+def merge_batch(d, z, rho, n_iter: int = 12):
+    """Batched host merge — native C++ core when available (the DLAED4
+    equivalent, eigenexa_tpu/native/secular.cpp), numpy twin otherwise.
+    Same contract as :func:`merge_batch_np`."""
+    from eigenexa_tpu.native import merge_batch_native
+
+    out = merge_batch_native(d, z, rho, n_iter)
+    if out is not None:
+        return out
+    return merge_batch_np(d, z, rho, n_iter)
+
+
 def merge_batch_np(d, z, rho, n_iter: int = 12):
     """Batched host merge: inputs (B, m), (B, m), (B,); returns lam (B, m)
     and c_unsorted (B, m, m) with rows scattered back to pre-sort

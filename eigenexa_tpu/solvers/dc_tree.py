@@ -167,7 +167,7 @@ def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
     compiles it for tens of minutes) and callbacks are unsupported.  Not
     traceable — called outside jit by the solver facade.
     """
-    from eigenexa_tpu.solvers.dc_host import merge_batch_np
+    from eigenexa_tpu.solvers.dc_host import merge_batch
 
     d = np.asarray(d, np.float64)
     e = np.asarray(e, np.float64)
@@ -209,7 +209,7 @@ def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
         z = np.concatenate([r1[:, 0, :], sgn[:, None] * r0[:, 1, :]], axis=1)
         # the middle-way iteration is cubic; 16 safeguarded steps reach f64
         # roundoff — don't pay the jitted path's conservative default here
-        lam, cu = merge_batch_np(d2, z, rho, min(n_iter, 16))
+        lam, cu = merge_batch(d2, z, rho, min(n_iter, 16))
         cud = jnp.asarray(cu.astype(np_vdt))  # cast on host: halves PCIe
         q2 = q.reshape(bsz // 2, 2, s, s)
         q = _apply_level_gemm(q2, cud, s)

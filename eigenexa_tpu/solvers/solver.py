@@ -35,7 +35,29 @@ from eigenexa_tpu.solvers import dc
 from eigenexa_tpu.solvers.trbak import back_transform
 from eigenexa_tpu.runtime import EigenContext, default_context
 
-MODES = ("A", "N", "X", "S", "T", "C")
+MODES = ("A", "N", "X", "S", "T", "C", "R")
+
+
+def _solve_stage_r(stage_data, nvec, band: int, vec_dtype):
+    """Mode 'R': read reduced-band data and run ONLY the D&C stage
+    (reference: src/eigen_sx.F:175-193 — D.data/E.data/F.data files)."""
+    from eigenexa_tpu.utils.stageio import load_stage_data
+
+    if isinstance(stage_data, str):
+        d, e1, e2 = load_stage_data(stage_data)
+    else:
+        d, e1 = stage_data[0], stage_data[1]
+        e2 = stage_data[2] if len(stage_data) > 2 else None
+    d = jnp.asarray(d)
+    e1 = jnp.asarray(e1)
+    if band == 2 and e2 is not None:
+        from eigenexa_tpu.solvers.dc_band import solve_band2_dc
+
+        w, s = solve_band2_dc(d, e1, jnp.asarray(e2), vec_dtype=vec_dtype)
+    else:
+        w, s = dc.solve_tridiag(d, e1, vec_dtype=vec_dtype)
+    nvec = d.shape[0] if nvec is None else min(nvec, d.shape[0])
+    return w, s[:, :nvec]
 
 
 @dataclasses.dataclass
@@ -92,10 +114,17 @@ def matrix_scaling(a: jnp.ndarray):
 
 
 def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
-                dc_leaf: int = 32):
-    """Traceable solve body (jit-safe for fixed n/mode)."""
+                dc_leaf: int = 32, band: int = 1):
+    """Traceable solve body (jit-safe for fixed n/mode).
+
+    band=1 is the eigen_s path (tridiagonal); band=2 the eigen_sx path
+    (reference: src/eigen_sx.F:30 — dense -> pentadiagonal -> banded D&C).
+    """
     n = a.shape[0]
     a_s, sigma = matrix_scaling(a)
+    if band == 2:
+        return _solve_core_band2(a_s, sigma, nvec, mode, nb_f, nb_b,
+                                 dc_leaf)
     trd = tridiagonalize(a_s, nb=nb_f)
 
     if mode == "N":
@@ -128,21 +157,74 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
 
+def _solve_core_band2(a_s, sigma, nvec: int, mode: str, nb_f: int,
+                      nb_b: int, dc_leaf: int):
+    """eigen_sx body: band-2 reduction + pentadiagonal D&C
+    (reference call stack: eigen_prd -> eigen_dcx -> [eigen_bisect2] ->
+    trbakwy with MBAND=2, src/eigen_sx.F:151-247)."""
+    from eigenexa_tpu.ops.band import band2_reduce
+
+    n = a_s.shape[0]
+    prd = band2_reduce(a_s, nb=nb_f)
+
+    if mode == "N":
+        from eigenexa_tpu.ops.sturm import eigvals_bisect_band2
+
+        return eigvals_bisect_band2(prd.d, prd.e1, prd.e2) / sigma, None
+    if mode in ("A", "X", "T"):
+        from eigenexa_tpu.solvers.dc_band import solve_band2_dc
+
+        w, s = solve_band2_dc(prd.d, prd.e1, prd.e2, leaf=max(dc_leaf, 4),
+                              vec_dtype=a_s.dtype)
+        if mode == "X":
+            from eigenexa_tpu.ops.sturm import refine_eigenvalues_band2
+
+            w = refine_eigenvalues_band2(prd.d, prd.e1, prd.e2, w)
+        w = w / sigma
+        if mode == "T":
+            return w, s[:, :nvec]
+        z = back_transform(s[:, :nvec], prd.v, prd.tau, nb=nb_b)
+        return w, z
+    if mode == "S":
+        eye = jnp.eye(n, nvec, dtype=a_s.dtype)
+        z = back_transform(eye, prd.v, prd.tau, nb=nb_b)
+        return prd.d / sigma, z
+    if mode == "C":
+        return prd.d / sigma, jnp.eye(n, nvec, dtype=a_s.dtype)
+    raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
+
+
 def eigen_s(
-    a: jnp.ndarray,
+    a: Optional[jnp.ndarray],
     nvec: Optional[int] = None,
     mode: str = "A",
     ctx: Optional[EigenContext] = None,
+    stage_data=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], SolveInfo]:
     """Standard real-symmetric eigensolver (reference: src/eigen_s.F:30).
 
     Returns (w ascending, Z (n×nvec) or None, SolveInfo).
+    Mode 'R' skips reduction and runs D&C on `stage_data` (a directory
+    written by utils.stageio.save_stage_data, or a (d, e) tuple); `a` may
+    be None then (reference: src/eigen_sx.F:175-193).
     """
     ctx = ctx or default_context()
-    n = a.shape[0]
-    nvec = n if nvec is None else min(nvec, n)
     mode = mode.upper()
     cfg = ctx.config
+    if mode == "R":
+        t0 = time.perf_counter()
+        vec_dtype = a.dtype if a is not None else jnp.float64
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            w, z = _solve_stage_r(stage_data, nvec, band=1,
+                                  vec_dtype=vec_dtype)
+        w = w.block_until_ready()
+        n = w.shape[0]
+        return w, z, SolveInfo(
+            flops=4.0 / 3.0 * n**3, elapsed=time.perf_counter() - t0,
+            n=n, nvec=z.shape[1], mode="R",
+        )
+    n = a.shape[0]
+    nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
     # TPU f32 matmuls default to bf16 MXU passes (~1e-2 orthogonality!);
     # the solver's accuracy contract requires true-f32 accumulation.
@@ -163,19 +245,51 @@ def eigen_s(
 
 
 def eigen_sx(
-    a: jnp.ndarray,
+    a: Optional[jnp.ndarray],
     nvec: Optional[int] = None,
     mode: str = "A",
     ctx: Optional[EigenContext] = None,
+    stage_data=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], SolveInfo]:
     """One-stage banded variant (reference: src/eigen_sx.F:30 — dense →
-    pentadiagonal → banded D&C).
+    pentadiagonal via 2-column Householder pairs → banded D&C with two
+    rank-1 merges per join → WY back-transform with MBAND=2 reflectors).
 
-    Round-1 status: the band-2 reduction (eigen_prd analogue) is under
-    construction; this entry currently solves via the tridiagonal path,
-    which meets the same numerical contract.  The API is stable.
+    Mode 'R' runs only the banded D&C on saved (d, e1, e2) data
+    (reference: src/eigen_sx.F:175-193).
     """
-    return eigen_s(a, nvec=nvec, mode=mode, ctx=ctx)
+    ctx = ctx or default_context()
+    mode = mode.upper()
+    cfg = ctx.config
+    if mode == "R":
+        t0 = time.perf_counter()
+        vec_dtype = a.dtype if a is not None else jnp.float64
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            w, z = _solve_stage_r(stage_data, nvec, band=2,
+                                  vec_dtype=vec_dtype)
+        w = w.block_until_ready()
+        n = w.shape[0]
+        return w, z, SolveInfo(
+            flops=4.0 / 3.0 * n**3, elapsed=time.perf_counter() - t0,
+            n=n, nvec=z.shape[1], mode="R",
+        )
+    n = a.shape[0]
+    nvec = n if nvec is None else min(nvec, n)
+    t0 = time.perf_counter()
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        w, z = _solve_core(a, nvec, mode, cfg.panel_forward,
+                           cfg.panel_backward, band=2)
+    w = w.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    info = SolveInfo(
+        flops=flop_model(n, nvec, mode in ("A", "X", "S")),
+        elapsed=elapsed,
+        comm_time=0.0,
+        n=n,
+        nvec=nvec,
+        mode=mode,
+    )
+    return w, z, info
 
 
 def eigh(a: jnp.ndarray, nvec: Optional[int] = None,

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -50,9 +51,14 @@ def residual_check(a, z, w, nvec: Optional[int] = None) -> CheckResult:
         z = z[:, :nvec]
         w = w[:nvec]
     eps = float(jnp.finfo(a.dtype).eps)
-    r = a @ z - z * w[None, :]
-    num = jnp.linalg.norm(r)
-    den = n * eps * jnp.linalg.norm(a)
+    # measurement GEMMs at full precision of the dtype — on TPU the
+    # default f32 matmul is bf16 passes, which would measure the CHECK's
+    # rounding, not the solver's (the reference measures in the solve
+    # precision, benchmark/ev_test.f)
+    with jax.default_matmul_precision("highest"):
+        r = a @ z - z * w[None, :].astype(z.dtype)
+        num = jnp.linalg.norm(r)
+        den = n * eps * jnp.linalg.norm(a)
     val = float(num / den)
     return CheckResult("residual", val, val < 768.0, val > 1024.0)
 
@@ -64,8 +70,9 @@ def orthogonality_check(z, nvec: Optional[int] = None) -> CheckResult:
     if nvec is not None:
         z = z[:, :nvec]
     eps = float(jnp.finfo(z.dtype).eps)
-    g = z.conj().T @ z - jnp.eye(z.shape[1], dtype=z.dtype)
-    val = float(jnp.linalg.norm(g) / (n * eps))
+    with jax.default_matmul_precision("highest"):
+        g = z.conj().T @ z - jnp.eye(z.shape[1], dtype=z.dtype)
+        val = float(jnp.linalg.norm(g) / (n * eps))
     return CheckResult("orthogonality", val, val < 8.0, val > 32.0)
 
 
