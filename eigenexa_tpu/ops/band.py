@@ -142,10 +142,10 @@ def _extract_band(b, u_p, w_p, nb: int):
 def _band2_step(b, nb: int):
     """One panel + rank-2nb trailing update (the PRD analogue of
     eigen_common_2update, src/eigen_t1.F:68)."""
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update
+
     u_p, w_p, tau_p = band2_panel(b, nb)
-    b2 = b[nb:, nb:]
-    b2 = b2 - u_p[nb:] @ jnp.conj(w_p[nb:]).T \
-        - w_p[nb:] @ jnp.conj(u_p[nb:]).T
+    b2 = rank2k_update(b[nb:, nb:], u_p[nb:], w_p[nb:])
     d, e1, e2 = _extract_band(b, u_p, w_p, nb)
     return b2, u_p, w_p, tau_p, d, e1, e2
 

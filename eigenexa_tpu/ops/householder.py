@@ -168,10 +168,12 @@ def _panel_diag(b, u_p, w_p, nb: int):
 def _tridiag_step(b, nb: int):
     """One panel + trailing rank-2nb update, jitted per trailing size."""
     u_p, w_p, tau_p, e_p = tridiag_panel(b, nb)
-    b2 = b[nb:, nb:]
     # rank-2k trailing update (reference: eigen_common_2update,
-    # src/eigen_t1.F:68) — the flops-dominant GEMM pair
-    b2 = b2 - u_p[nb:] @ jnp.conj(w_p[nb:].T) - w_p[nb:] @ jnp.conj(u_p[nb:].T)
+    # src/eigen_t1.F:68) — the flops-dominant contraction, fused with the
+    # subtract into one HBM pass (Pallas on TPU; concat-GEMM elsewhere)
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update
+
+    b2 = rank2k_update(b[nb:, nb:], u_p[nb:], w_p[nb:])
     diag = _panel_diag(b, u_p, w_p, nb)
     return b2, u_p, w_p, tau_p, e_p, diag
 
@@ -275,6 +277,8 @@ def wy_t_factor(v: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
 def apply_wy_left(z: jnp.ndarray, v: jnp.ndarray, t: jnp.ndarray):
     """Z ← (I − V·T·Vᴴ)·Z — one WY block of the back-transform
     (reference: the S=VᵀZ / Z+=V·S̃ GEMM pair,
-    src/trbakwy4_body.F:573-625,721)."""
-    s = jnp.conj(v.T) @ z          # (nb, nvec)
-    return z - v @ (t @ s)
+    src/trbakwy4_body.F:573-625,721).  The large second product streams
+    through the fused subtract-matmul kernel (ops/pallas_kernels.py)."""
+    from eigenexa_tpu.ops.pallas_kernels import wy_apply
+
+    return wy_apply(z, v, t)

@@ -1,0 +1,163 @@
+"""Pallas TPU kernels for the solver's HBM-bound hot ops.
+
+The framework's two flop/byte-dominant updates are *subtract-matmul*
+shaped: ``OUT = B − P·Qᵀ`` where B is O(m²) and P/Q are skinny O(m·k)
+panels:
+
+* the rank-2k trailing update of the Householder reduction
+  ``A ← A − U·Wᴴ − W·Uᴴ`` (reference: eigen_common_2update,
+  src/eigen_t1.F:68) — expressed as one product with the panel
+  concatenation P=[U W], Q=[W U] so K = 2·nb (=128 at the default
+  nb=64, exactly one MXU pass);
+* the WY back-transform block ``Z ← Z − V·(T·(VᴴZ))`` (reference:
+  the dgemm pair in src/trbakwy4_body.F:573-625,721) whose second
+  GEMM is B=Z, P=V, Q=(T·S)ᵀ.
+
+Why a kernel instead of XLA: as separate ops, XLA materializes the
+matmul product to HBM and re-reads it (plus B) for the subtract —
+≥3 full O(m²) HBM passes.  This kernel streams each B tile through
+VMEM once: read B-tile + panel tiles, one MXU contraction, fused
+subtract, write — the HBM-bandwidth floor for the op.
+
+Everything here is single-chip; the distributed path shards the
+enclosing GEMMs with the SPMD partitioner and each shard-local update
+calls the same kernel.  f32 only on the MXU (f64 / complex fall back
+to the concat-GEMM jnp path, which is itself the best XLA formulation:
+one dot instead of two plus a fusable epilogue).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas import is gated: CPU-only deployments may lack the TPU plugin
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# force-disable switch for A/B benchmarking (bench.py --no-pallas path)
+_DISABLED = os.environ.get("EIGENEXA_NO_PALLAS", "0") == "1"
+
+_LANE = 128  # last-dim lane width (pallas_guide.md: tiling constraints)
+
+
+def set_enabled(flag: bool) -> None:
+    global _DISABLED
+    _DISABLED = not flag
+
+
+def _sub_matmul_kernel(b_ref, p_ref, q_ref, o_ref):
+    """One (TM, TN) output tile: o = b − p·qᵀ, subtract fused into the
+    MXU epilogue (single HBM pass over B)."""
+    prod = jax.lax.dot_general(
+        p_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = b_ref[:] - prod
+
+
+def _largest_tile(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sub_matmul_pallas(b, p, q, interpret: bool = False):
+    m, n = b.shape
+    k = p.shape[1]
+    tm = _largest_tile(m, (256, 128, 64, 32, 16, 8))
+    tn = _largest_tile(n, (256, 128))
+    grid = (m // tm, n // tn)
+    return pl.pallas_call(
+        _sub_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), b.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(b, p, q)
+
+
+def _pad_k(x, k_pad: int):
+    k = x.shape[1]
+    if k == k_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, k_pad - k)))
+
+
+def _pallas_eligible(b, p, q) -> bool:
+    if _DISABLED or not _HAS_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if b.dtype != jnp.float32 or p.dtype != jnp.float32:
+        return False
+    m, n = b.shape
+    if m < 8 or _largest_tile(m, (256, 128, 64, 32, 16, 8)) == 0:
+        return False
+    if n < _LANE or n % _LANE != 0:
+        return False
+    # panels must fit VMEM next to the output tile: k ≤ 1024 keeps
+    # (256·k + 256·k + 256·256)·4B ≤ ~2.3 MB per program
+    if p.shape[1] > 1024:
+        return False
+    return True
+
+
+def sub_matmul(b, p, q, interpret: bool = False):
+    """``B − P·conj(Q)ᵀ`` with the subtract fused into the product.
+
+    Pallas MXU kernel on TPU/f32; elsewhere a single XLA dot with a
+    fusable subtract epilogue.  B: (m, n); P: (m, k); Q: (n, k).
+    """
+    if not interpret and not _pallas_eligible(b, p, q):
+        return b - p @ jnp.conj(q).T
+    k_pad = -(-p.shape[1] // _LANE) * _LANE
+    return _sub_matmul_pallas(
+        b, _pad_k(p, k_pad), _pad_k(q, k_pad), interpret=interpret
+    )
+
+
+def rank2k_update(b, u, w, interpret: bool = False):
+    """``B − U·conj(W)ᵀ − W·conj(U)ᵀ`` as one fused pass
+    (reference: eigen_common_2update, src/eigen_t1.F:68).
+
+    The two rank-nb products become a single rank-2nb contraction via
+    panel concatenation — one MXU pass at the default nb=64 (K=128).
+    """
+    p = jnp.concatenate([u, w], axis=1)
+    q = jnp.concatenate([w, u], axis=1)
+    return sub_matmul(b, p, q, interpret=interpret)
+
+
+def wy_apply(z, v, t, interpret: bool = False):
+    """``Z − V·(T·(VᴴZ))`` — one WY back-transform block
+    (reference: src/trbakwy4_body.F:573-625,721).
+
+    The reduction S=VᴴZ is a plain XLA dot (it reads Z once and writes
+    only O(nb·nvec)); the large second product streams Z through the
+    fused subtract kernel instead of materializing V·(T·S).
+    """
+    s = jnp.conj(v).T @ z
+    y = t @ s                     # (nb, nvec), small
+    return sub_matmul(z, v, jnp.conj(y).T, interpret=interpret)

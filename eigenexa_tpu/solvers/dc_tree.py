@@ -172,6 +172,13 @@ def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
     d = np.asarray(d, np.float64)
     e = np.asarray(e, np.float64)
     n = d.shape[0]
+    if not (np.isfinite(d).all() and np.isfinite(e).all()):
+        # NaN-poisoning contract (reference: eigen_scaling + driver guard,
+        # src/eigen_s.F:156-160): non-finite input must yield NaN results,
+        # not an exception — scipy's leaf solver would raise otherwise.
+        wdt = jnp.zeros((), F64).dtype   # f32 when x64 is off (no warning)
+        return (jnp.full((n,), jnp.nan, wdt),
+                jnp.full((n, n), jnp.nan, vec_dtype))
     leaf = max(2, min(leaf, n))
     m, levels = _pad_sizes(n, leaf)
 

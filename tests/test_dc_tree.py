@@ -139,3 +139,14 @@ def test_host_impl_degenerate():
     r = checks.residual_check(jnp.asarray(t), s, w)
     o = checks.orthogonality_check(s)
     assert r.passed and o.passed, (r, o)
+
+
+def test_host_impl_nan_poisons_not_raises():
+    # NaN-poisoning contract on the host path (reference: eigen_scaling +
+    # driver guard, src/eigen_s.F:156-160); scipy's leaf solver would
+    # otherwise raise ValueError on non-finite input (found by /verify)
+    d = jnp.array([1.0, np.nan, 3.0, 4.0])
+    e = jnp.array([0.5, 0.5, 0.5])
+    w, q = solve_tridiag_dc(d, e, impl="host")
+    assert bool(jnp.isnan(w).all())
+    assert q.shape == (4, 4)
