@@ -82,6 +82,8 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
         solver_fn, solver_name = ex.eigen_sx, "eigen_sx"
     elif case.solver == 2:
         solver_fn, solver_name = ex.eigen_h, "eigen_h"
+    elif case.solver == 3:
+        return _run_gev_case(case, a, w_true, ctx, dtype, printer)
     else:
         solver_fn, solver_name = ex.eigen_s, "eigen_s"
 
@@ -155,6 +157,52 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
     return report
 
 
+def _run_gev_case(case: BenchCase, a, w_true, ctx, dtype, printer) -> dict:
+    """Generalized-problem benchmark line (solver=3): A from `matrix`,
+    B positive-definite with a designed spectrum in [1, 2] — mirroring the
+    reference GEV benchmark's random-A / W.dat-spectrum-B setup
+    (reference: benchmark/KMATH_EIGEN_GEV_main.f:50, _check.f)."""
+    import jax.numpy as _jnp
+
+    from eigenexa_tpu.solvers.gev import eigen_gev
+    from eigenexa_tpu.testing.checks import (b_orthogonality_check,
+                                             gev_residual_check)
+    from eigenexa_tpu.testing.matgen import designed
+
+    b = designed(_jnp.linspace(1.0, 2.0, case.n), dtype=dtype)
+    w, z, info = eigen_gev(a, b, nvec=case.nvec, ctx=ctx)
+    r = gev_residual_check(a, b, z, w, case.nvec)
+    o = b_orthogonality_check(z, b, case.nvec)
+    report = {
+        "n": case.n,
+        "nvec": case.nvec,
+        "mode": "A",
+        "matrix": MATRIX_TYPES.get(case.mtype, str(case.mtype)),
+        "solver": "eigen_gev",
+        "grid": f"{ctx.x_nnod}x{ctx.y_nnod}",
+        "dtype": jnp.dtype(dtype).name,
+        "elapsed_s": round(info.elapsed, 4),
+        "model_flops": info.flops,
+        "model_gflops": round(info.gflops, 2),
+        "comm_s": info.comm_time,
+        "checks": {
+            "gev_residual": {"value": r.value, "status": r.status()},
+            "b_orthogonality": {"value": o.value, "status": o.status()},
+        },
+        "hard_fail": r.hard_fail or o.hard_fail,
+    }
+    if printer is not None:
+        printer(f"--- eigen_gev  N={case.n} nvec={case.nvec} "
+                f"matrix={report['matrix']} grid={report['grid']} "
+                f"dtype={report['dtype']}")
+        printer(f"    elapsed {report['elapsed_s']} s   "
+                f"model {report['model_gflops']} GFLOP/s")
+        for name, chk in report["checks"].items():
+            printer(f"    *** {name:15s} *** : {chk['status']}  "
+                    f"({chk['value']:.4g})")
+    return report
+
+
 def run_input_file(path: str, ctx=None, dtype=None, printer=print):
     """Loop over benchmark input lines (reference: main2.f input loop).
     Returns list of reports; raises SystemExit on a hard accuracy failure
@@ -180,7 +228,7 @@ def main(argv=None):
     p.add_argument("--nvec", type=int, default=0)
     p.add_argument("--mode", type=int, default=1, choices=[0, 1, 2])
     p.add_argument("--mtype", type=int, default=0)
-    p.add_argument("--solver", type=int, default=1, choices=[0, 1])
+    p.add_argument("--solver", type=int, default=1, choices=[0, 1, 2, 3])
     p.add_argument("--f64", action="store_true",
                    help="force float64 (enables x64)")
     p.add_argument("-L", "--list-matrices", action="store_true")

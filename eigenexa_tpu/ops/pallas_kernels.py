@@ -87,9 +87,11 @@ def _sub_matmul_pallas(b, p, q, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, k), lambda i, j: (i, 0),
+            # the 0 literal must be i32: under jax_enable_x64 a Python 0
+            # lifts to i64 and Mosaic fails to legalize the index map
+            pl.BlockSpec((tm, k), lambda i, j: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, k), lambda i, j: (j, 0),
+            pl.BlockSpec((tn, k), lambda i, j: (j, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),

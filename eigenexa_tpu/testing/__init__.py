@@ -11,6 +11,8 @@ from eigenexa_tpu.testing.checks import (
     residual_check,
     orthogonality_check,
     eigenvalue_check,
+    gev_residual_check,
+    b_orthogonality_check,
     CheckResult,
 )
 
@@ -21,5 +23,7 @@ __all__ = [
     "residual_check",
     "orthogonality_check",
     "eigenvalue_check",
+    "gev_residual_check",
+    "b_orthogonality_check",
     "CheckResult",
 ]

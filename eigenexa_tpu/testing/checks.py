@@ -91,3 +91,32 @@ def eigenvalue_check(w, w_true) -> CheckResult:
     return CheckResult(
         "eigenvalues", val, val < eps2, val >= eps4, caution=val < eps4
     )
+
+
+def gev_residual_check(a, b, z, w, nvec: Optional[int] = None
+                       ) -> CheckResult:
+    """‖AZ−BZW‖_F / (N·ε·‖A‖_F) — the generalized-problem residual
+    (reference: benchmark/KMATH_EIGEN_GEV_check.f); same PASS/FAIL
+    constants as ev_test."""
+    n = a.shape[0]
+    if nvec is not None:
+        z = z[:, :nvec]
+        w = w[:nvec]
+    eps = float(jnp.finfo(a.dtype).eps)
+    with jax.default_matmul_precision("highest"):
+        r = a @ z - (b @ z) * w[None, :].astype(z.dtype)
+        val = float(jnp.linalg.norm(r) / (n * eps * jnp.linalg.norm(a)))
+    return CheckResult("gev_residual", val, val < 768.0, val > 1024.0)
+
+
+def b_orthogonality_check(z, b, nvec: Optional[int] = None) -> CheckResult:
+    """‖ZᵀBZ−I‖_F / (N·ε) — B-orthonormality of generalized eigenvectors
+    (the GEV analogue of ev_test's orthogonality, same constants)."""
+    n = z.shape[0]
+    if nvec is not None:
+        z = z[:, :nvec]
+    eps = float(jnp.finfo(z.dtype).eps)
+    with jax.default_matmul_precision("highest"):
+        g = z.conj().T @ (b @ z) - jnp.eye(z.shape[1], dtype=z.dtype)
+        val = float(jnp.linalg.norm(g) / (n * eps))
+    return CheckResult("b_orthogonality", val, val < 8.0, val > 32.0)

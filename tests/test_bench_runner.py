@@ -35,3 +35,14 @@ def test_profiler():
         x = sum(range(1000))
     rows = p.report(printer=None)
     assert rows["a"]["count"] == 1 and rows["a"]["seconds"] > 0
+
+
+def test_run_case_gev():
+    from eigenexa_tpu.bench.runner import BenchCase, run_case
+
+    rep = run_case(BenchCase(n=96, nvec=96, mtype=2, solver=3),
+                   printer=None)
+    assert rep["solver"] == "eigen_gev"
+    assert not rep["hard_fail"]
+    assert rep["checks"]["gev_residual"]["status"] == "PASSED"
+    assert rep["checks"]["b_orthogonality"]["status"] == "PASSED"
