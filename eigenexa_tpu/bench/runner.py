@@ -83,7 +83,7 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
     elif case.solver == 2:
         solver_fn, solver_name = ex.eigen_h, "eigen_h"
     elif case.solver == 3:
-        return _run_gev_case(case, a, w_true, ctx, dtype, printer)
+        return _run_gev_case(case, a, ctx, dtype, printer)
     else:
         solver_fn, solver_name = ex.eigen_s, "eigen_s"
 
@@ -157,11 +157,15 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
     return report
 
 
-def _run_gev_case(case: BenchCase, a, w_true, ctx, dtype, printer) -> dict:
+def _run_gev_case(case: BenchCase, a, ctx, dtype, printer) -> dict:
     """Generalized-problem benchmark line (solver=3): A from `matrix`,
     B positive-definite with a designed spectrum in [1, 2] — mirroring the
     reference GEV benchmark's random-A / W.dat-spectrum-B setup
-    (reference: benchmark/KMATH_EIGEN_GEV_main.f:50, _check.f)."""
+    (reference: benchmark/KMATH_EIGEN_GEV_main.f:50, _check.f).
+
+    The GEV driver computes eigenpairs only (the reference KMATH_EIGEN_GEV
+    has no eigenvalues-only mode); input lines with other modes are run as
+    mode 1 with a warning in the report."""
     import jax.numpy as _jnp
 
     from eigenexa_tpu.solvers.gev import eigen_gev
@@ -169,6 +173,11 @@ def _run_gev_case(case: BenchCase, a, w_true, ctx, dtype, printer) -> dict:
                                              gev_residual_check)
     from eigenexa_tpu.testing.matgen import designed
 
+    mode = MODE_MAP.get(case.mode, "A")
+    if mode != "A" and printer is not None:
+        printer(f"    (GEV supports eigenpair mode only; input mode "
+                f"{mode!r} run as 'A' — reference KMATH_EIGEN_GEV.F has "
+                f"no mode argument)")
     b = designed(_jnp.linspace(1.0, 2.0, case.n), dtype=dtype)
     w, z, info = eigen_gev(a, b, nvec=case.nvec, ctx=ctx)
     r = gev_residual_check(a, b, z, w, case.nvec)

@@ -42,15 +42,30 @@ try:  # pallas import is gated: CPU-only deployments may lack the TPU plugin
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-# force-disable switch for A/B benchmarking (bench.py --no-pallas path)
+# force-disable switch for A/B benchmarking (env: EIGENEXA_NO_PALLAS=1)
 _DISABLED = os.environ.get("EIGENEXA_NO_PALLAS", "0") == "1"
 
 _LANE = 128  # last-dim lane width (pallas_guide.md: tiling constraints)
 
 
 def set_enabled(flag: bool) -> None:
+    """Enable/disable the Pallas kernels (A/B benchmarking).
+
+    `_pallas_eligible` is read at trace time, so already-compiled shapes
+    would keep their previous kernel choice; clearing the jit caches here
+    makes the toggle take effect for every shape, not just unseen ones.
+    """
     global _DISABLED
     _DISABLED = not flag
+    _sub_matmul_pallas.clear_cache()
+    # callers that traced through sub_matmul are keyed only by shape/dtype —
+    # flush them too so the toggle reaches already-seen shapes
+    from eigenexa_tpu.ops import band, householder
+
+    householder._tridiag_step.clear_cache()
+    householder._remainder_step.clear_cache()
+    band._band2_step.clear_cache()
+    band._band2_remainder.clear_cache()
 
 
 def _sub_matmul_kernel(b_ref, p_ref, q_ref, o_ref):
@@ -107,11 +122,12 @@ def _pad_k(x, k_pad: int):
     return jnp.pad(x, ((0, 0), (0, k_pad - k)))
 
 
-def _pallas_eligible(b, p, q) -> bool:
-    if _DISABLED or not _HAS_PALLAS:
-        return False
-    if jax.default_backend() != "tpu":
-        return False
+def _shape_eligible(b, p) -> bool:
+    """Shape/dtype gates shared by the compiled and interpret paths: the
+    kernel tiles m/n statically and skips the conj (real f32 only), so an
+    unaligned or non-f32 operand must take the jnp fallback in BOTH modes
+    (an interpret=True call with unaligned m would otherwise divide by a
+    zero tile)."""
     if b.dtype != jnp.float32 or p.dtype != jnp.float32:
         return False
     m, n = b.shape
@@ -126,13 +142,24 @@ def _pallas_eligible(b, p, q) -> bool:
     return True
 
 
+def _pallas_eligible(b, p, q) -> bool:
+    if _DISABLED or not _HAS_PALLAS:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return _shape_eligible(b, p)
+
+
 def sub_matmul(b, p, q, interpret: bool = False):
     """``B − P·conj(Q)ᵀ`` with the subtract fused into the product.
 
     Pallas MXU kernel on TPU/f32; elsewhere a single XLA dot with a
     fusable subtract epilogue.  B: (m, n); P: (m, k); Q: (n, k).
     """
-    if not interpret and not _pallas_eligible(b, p, q):
+    if interpret:
+        if not _HAS_PALLAS or not _shape_eligible(b, p):
+            return b - p @ jnp.conj(q).T
+    elif not _pallas_eligible(b, p, q):
         return b - p @ jnp.conj(q).T
     k_pad = -(-p.shape[1] // _LANE) * _LANE
     return _sub_matmul_pallas(

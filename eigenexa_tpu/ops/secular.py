@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 F64 = jnp.float64
@@ -34,8 +35,15 @@ F64 = jnp.float64
 # backend emulates f64 as double-single with the f32 exponent range, where
 # 1e-308 underflows to exactly 0 and every guard built on it produces NaN.
 # Solver inputs are pre-scaled into the safe range (matrix_scaling), so
-# 1e-30 is far below any legitimate quantity.
+# 1e-30 is far below any legitimate quantity (and still representable in
+# f32, so the same guard serves the f32 working mode).
 TINY = 1e-30
+
+
+def default_work_dtype():
+    """f64 when x64 is on, f32 otherwise — via canonicalize_dtype so no
+    'requested f64 will be truncated' warning is emitted under x64-off."""
+    return jax.dtypes.canonicalize_dtype(np.float64)
 
 
 class MergeCore(NamedTuple):
@@ -236,7 +244,8 @@ def _zhat(d, d1, mu, rho, active, z_sign):
     return jnp.where(active, zh, 0.0)
 
 
-def rank1_merge_core(d, z, rho, n_iter: int = 40) -> MergeCore:
+def rank1_merge_core(d, z, rho, n_iter: int = 40,
+                     work_dtype=None) -> MergeCore:
     """Eigendecomposition of diag(d) + ρ·z·zᵀ (ρ ≥ 0, coordinates in any
     order).  Returns sorted eigenvalues and the orthogonal transform c so
     that  diag(d)+ρzzᵀ = (P G U) diag(λ) (P G U)ᵀ  with c = G·U rows in
@@ -244,14 +253,22 @@ def rank1_merge_core(d, z, rho, n_iter: int = 40) -> MergeCore:
 
     Mask-based deflation: |ρ·z_j| below tol and close-d runs deflate in
     place; their columns of c are exact unit vectors.
+
+    `work_dtype` sets the secular working precision (default f64 under
+    x64).  f32 working precision is the TPU fast path: the (σ, μ)
+    shifted-origin representation keeps d_j − λ_i cancellation-free, so
+    eigenvector orthogonality stays at O(ε_f32) — the dlaed4 contract is
+    precision-relative, the same reason LAPACK's single-precision sstedc
+    works.
     """
+    wdt = work_dtype or default_work_dtype()
     m = d.shape[0]
-    d = d.astype(F64)
-    z = z.astype(F64)
-    rho = rho.astype(F64) if hasattr(rho, "astype") else jnp.asarray(
-        rho, F64
+    d = d.astype(wdt)
+    z = z.astype(wdt)
+    rho = rho.astype(wdt) if hasattr(rho, "astype") else jnp.asarray(
+        rho, wdt
     )
-    eps = jnp.finfo(F64).eps
+    eps = jnp.finfo(wdt).eps
 
     perm = jnp.argsort(d)
     ds = d[perm]
@@ -279,7 +296,7 @@ def rank1_merge_core(d, z, rho, n_iter: int = 40) -> MergeCore:
     cnorm = jnp.sqrt(jnp.sum(u * u, axis=0))
     u = u / jnp.where(cnorm > 0, cnorm, 1.0)[None, :]
     # deflated columns: exact unit vectors
-    eye_cols = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]).astype(F64)
+    eye_cols = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]).astype(wdt)
     u = jnp.where(active[None, :], u, eye_cols)
 
     lam = jnp.where(active, shift_d + mu, ds)

@@ -14,10 +14,16 @@ vectorization axis is the probe set, not the matrix.  All math is f64
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
-F64 = jnp.float64
+# canonical f64: float64 under x64, float32 otherwise.  Using
+# canonicalize_dtype (not a literal jnp.float64) means x64-off runs get the
+# same truncation WITHOUT the per-op "requested f64 will be truncated"
+# UserWarning.  Callers that need true f64 enable x64 before importing
+# (bench.py, tests/conftest.py do).
+F64 = jax.dtypes.canonicalize_dtype("float64")
 
 
 def sturm_count(d: jnp.ndarray, e: jnp.ndarray, x: jnp.ndarray):

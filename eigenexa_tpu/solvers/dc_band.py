@@ -41,7 +41,12 @@ import numpy as np
 
 from eigenexa_tpu.solvers.dc_host import merge_batch
 
-F64 = jnp.float64
+# canonical f64: float64 under x64, float32 otherwise.  Using
+# canonicalize_dtype (not a literal jnp.float64) means x64-off runs get the
+# same truncation WITHOUT the per-op "requested f64 will be truncated"
+# UserWarning.  Callers that need true f64 enable x64 before importing
+# (bench.py, tests/conftest.py do).
+F64 = jax.dtypes.canonicalize_dtype("float64")
 
 
 def _pad_sizes(n: int, leaf: int) -> Tuple[int, int]:

@@ -12,10 +12,13 @@ tree; SURVEY.md §3.2).  Key design differences, deliberate and TPU-first:
   unit eigenvector columns) — no dynamic K, no compaction.  We forgo the
   deflation *flop savings* in the merge GEMM in exchange for dense,
   perfectly-shaped MXU GEMMs; the numerical behavior matches dlaed2.
-* **Mixed precision.**  d/z/λ/secular math in f64 (ops/secular.py); the
-  O(m³) eigenvector GEMM cascade runs in the requested vector dtype
-  (f32 on TPU, f64 on CPU) — orthogonality comes from the Gu–Eisenstat
-  construction, not from GEMM precision.
+* **Mixed precision.**  d/z/λ/secular math runs in a working dtype wider
+  than or equal to the vector dtype (f64 under x64; f32 on the TPU f32
+  path, where thresholds are f32-relative and the (σ, μ) secular
+  representation keeps orthogonality at O(ε_work) — ops/secular.py); the
+  O(m³) eigenvector GEMM cascade runs in the requested vector dtype.
+  Orthogonality comes from the Gu–Eisenstat construction, not from GEMM
+  precision.
 * Padding coordinates (d beyond n) carry zero coupling, so they deflate
   exactly at every level and fall out of the final slice.
 
@@ -33,7 +36,12 @@ import numpy as np
 
 from eigenexa_tpu.ops.secular import rank1_merge_core
 
-F64 = jnp.float64
+# canonical f64: float64 under x64, float32 otherwise.  Using
+# canonicalize_dtype (not a literal jnp.float64) means x64-off runs get the
+# same truncation WITHOUT the per-op "requested f64 will be truncated"
+# UserWarning.  Callers that need true f64 enable x64 before importing
+# (bench.py, tests/conftest.py do).
+F64 = jax.dtypes.canonicalize_dtype("float64")
 
 
 def _pad_sizes(n: int, leaf: int) -> Tuple[int, int]:
@@ -121,16 +129,18 @@ def _apply_level_gemm(q2, cud, s: int):
     return jax.vmap(one)(q2, cud)
 
 
-def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter):
+def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter,
+                 work_dtype=None):
     """One tree level: merge pairs (2b, 2b+1).
 
     d: (B, s) sorted per block; q: (B, s, s) in vec_dtype; row0/row1:
     (B, s) — first/last rows of each block's eigenvector matrix carried in
-    f64 so the rank-1 z-vectors keep full precision even when the O(m³)
-    eigenvector cascade runs in f32 (the mixed-precision contract);
+    the working dtype so the rank-1 z-vectors keep full working precision
+    even when the O(m³) eigenvector cascade runs in a narrower vec_dtype;
     rho: (B/2,) ≥ 0 couplings; sgn: (B/2,) sign applied to the right z.
     Returns (d', q', row0', row1') with B/2 blocks of size 2s.
     """
+    wdt = work_dtype or d.dtype
     bsz, s = d.shape
     d2 = d.reshape(bsz // 2, 2, s)
     q2 = q.reshape(bsz // 2, 2, s, s)
@@ -140,16 +150,17 @@ def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter):
     def merge_one(dpair, qpair, r0p, r1p, rho_b, sgn_b):
         dl, dr = dpair[0], dpair[1]
         ql, qr = qpair[0], qpair[1]
-        dm = jnp.concatenate([dl, dr]).astype(F64)
-        z = jnp.concatenate([r1p[0], sgn_b * r0p[1]])  # f64 rows
-        core = rank1_merge_core(dm, z, rho_b, n_iter=n_iter)
+        dm = jnp.concatenate([dl, dr]).astype(wdt)
+        z = jnp.concatenate([r1p[0], sgn_b * r0p[1]])  # working-dtype rows
+        core = rank1_merge_core(dm, z, rho_b, n_iter=n_iter,
+                                work_dtype=wdt)
         # scatter rows of c back to pre-sort coordinate order, then apply
         # the block-diagonal basis in two half-height GEMMs (dlaed3 shape)
         c_unsorted = jnp.zeros_like(core.c).at[core.perm, :].set(core.c)
         cu = c_unsorted.astype(vec_dtype)
         top = ql @ cu[:s, :]
         bot = qr @ cu[s:, :]
-        # propagate boundary rows in f64 (O(m²))
+        # propagate boundary rows in the working dtype (O(m²))
         row0_new = r0p[0] @ c_unsorted[:s, :]
         row1_new = r1p[1] @ c_unsorted[s:, :]
         return core.lam, jnp.concatenate([top, bot], axis=0), row0_new, \
@@ -157,6 +168,14 @@ def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter):
 
     lam, qm, r0n, r1n = jax.vmap(merge_one)(d2, q2, r0, r1, rho, sgn)
     return lam, qm, r0n, r1n
+
+
+# one compiled program per tree level (shapes differ per level); without
+# this the eager per-op dispatch of a level's merge graph is thousands of
+# small kernels
+_merge_level_jit = functools.partial(
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype")
+)(_merge_level)
 
 
 def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
@@ -176,7 +195,9 @@ def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
         # NaN-poisoning contract (reference: eigen_scaling + driver guard,
         # src/eigen_s.F:156-160): non-finite input must yield NaN results,
         # not an exception — scipy's leaf solver would raise otherwise.
-        wdt = jnp.zeros((), F64).dtype   # f32 when x64 is off (no warning)
+        # canonicalize_dtype avoids the "requested f64 will be truncated"
+        # UserWarning an explicit jnp f64 request emits when x64 is off
+        wdt = jax.dtypes.canonicalize_dtype(np.float64)
         return (jnp.full((n,), jnp.nan, wdt),
                 jnp.full((n, n), jnp.nan, vec_dtype))
     leaf = max(2, min(leaf, n))
@@ -237,26 +258,41 @@ def solve_tridiag_dc(
     n_iter: int = 40,
     leaf_kind: str = None,
     impl: str = None,
+    work_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition T = S·diag(w)·Sᵀ of the tridiagonal (d, e).
 
     Returns ascending (w (n,), S (n, n)).  `vec_dtype` controls the GEMM
-    cascade precision (defaults to d.dtype); eigenvalues are always f64.
+    cascade precision (defaults to d.dtype); `work_dtype` the secular
+    precision: f64 under x64 by default, but f32 on TPU when the vectors
+    are f32 — accuracy thresholds are dtype-relative (ev_test/w_test use
+    the matrix dtype's ε), and the (σ, μ) secular representation keeps
+    orthogonality at O(ε_work) (see ops/secular.py).
 
     leaf_kind: 'eigh' (LAPACK-style dense leaves) or 'analytic2'
     (closed-form 2×2 leaves) — jax impl only.
-    impl: 'jax' (fully jitted merges — CPU default; jit-traceable) or
-    'host' (eager: numpy secular core on host, device GEMM cascade —
-    default on TPU, where jitting the merge graph has pathological compile
-    times and callbacks are unsupported; NOT traceable under jit).
+    impl: 'jax' (fully jitted merges — default everywhere except the
+    TPU f64 path; one compiled program per level, all data stays on
+    device) or 'host' (eager: numpy secular core on host, device GEMM
+    cascade — the TPU f64 path, where the emulated-f64 merge graph has
+    pathological compile times; NOT traceable under jit).
     """
     n = d.shape[0]
     vec_dtype = vec_dtype or d.dtype
-    if n == 1:
-        return d.astype(F64), jnp.ones((1, 1), vec_dtype)
     on_cpu = jax.default_backend() == "cpu"
+    f32_vecs = jnp.dtype(vec_dtype) == jnp.dtype(jnp.float32)
     if impl is None:
-        impl = "jax" if on_cpu else "host"
+        impl = "jax" if (on_cpu or f32_vecs) else "host"
+    if work_dtype is None:
+        work_dtype = (jnp.dtype(jnp.float32) if (not on_cpu and f32_vecs)
+                      else jax.dtypes.canonicalize_dtype(np.float64))
+    work_dtype = jnp.dtype(work_dtype)
+    if work_dtype == jnp.dtype(jnp.float32):
+        # the middle-way iteration is cubic; 16 safeguarded steps overshoot
+        # f32 roundoff already
+        n_iter = min(n_iter, 16)
+    if n == 1:
+        return d.astype(work_dtype), jnp.ones((1, 1), vec_dtype)
     if impl == "host":
         return _solve_tridiag_host(d, e, leaf, vec_dtype, n_iter)
     if leaf_kind is None:
@@ -266,17 +302,18 @@ def solve_tridiag_dc(
     leaf = max(2, min(leaf, n))
     m, levels = _pad_sizes(n, leaf)
 
-    d = d.astype(F64)
-    e = e.astype(F64)
+    wdt = work_dtype
+    d = d.astype(wdt)
+    e = e.astype(wdt)
     # pad: decoupled ascending diagonal beyond n.  Pad values must be
     # SCALE-RELATIVE: absolute-scale pads would inflate the deflation
     # tolerances of any merge whose block mixes real and pad coordinates.
     span = jnp.max(jnp.abs(d)) + (jnp.max(jnp.abs(e)) if n > 1 else 0.0)
-    base = jnp.maximum(span, jnp.finfo(F64).tiny)
+    base = jnp.maximum(span, jnp.finfo(wdt).tiny)
     d_pad = jnp.concatenate(
-        [d, 2.0 * base + (base / m) * jnp.arange(m - n, dtype=F64)]
+        [d, 2.0 * base + (base / m) * jnp.arange(m - n, dtype=wdt)]
     )
-    e_pad = jnp.concatenate([e, jnp.zeros((m - n + 1,), F64)])  # len m
+    e_pad = jnp.concatenate([e, jnp.zeros((m - n + 1,), wdt)])  # len m
 
     # cut couplings: boundary p couples (p-1, p) via e_pad[p-1]; every leaf
     # boundary is cut at exactly one level.  Cuppen modification: subtract
@@ -311,9 +348,9 @@ def solve_tridiag_dc(
         cut_pos = np.arange(s, m, 2 * s)  # one cut per pair
         rho = jnp.abs(e_pad[cut_pos - 1])
         sgn = jnp.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0)
-        level_fn = _merge_level_host if impl == "host" else _merge_level
-        w, q, row0, row1 = level_fn(
-            w, q, row0, row1, rho, sgn, vec_dtype, n_iter
+        w, q, row0, row1 = _merge_level_jit(
+            w, q, row0, row1, rho, sgn,
+            vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter, work_dtype=wdt
         )
 
     w = w.reshape(m)

@@ -143,7 +143,9 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
             from eigenexa_tpu.ops.sturm import refine_eigenvalues
 
             w = refine_eigenvalues(trd.d, trd.e, w)
-        w = w / sigma  # stays f64 under x64 even for f32 input (by design)
+        # w carries the D&C working dtype: f64 under x64, except the TPU
+        # f32 path where the secular work itself runs in f32 (dc_tree.py)
+        w = w / sigma
         if mode == "T":
             return w, s[:, :nvec]
         z = back_transform(s[:, :nvec], trd.v, trd.tau, nb=nb_b)
