@@ -170,13 +170,21 @@ def band2_reduce(a: jnp.ndarray, nb: int = 64,
     P = Q^H A Q (driver analogue: src/eigen_prd.F:80 -> _stub:159 ->
     _body:341).
 
-    Same bucketed-trailing-shape scheme as ops/householder.tridiagonalize:
-    the panel loop runs in Python with trailing sizes rounded up to
-    `bucket`, trading <~12% extra GEMM flops for ~8x fewer compiled shapes.
+    Same bucketed-trailing-shape scheme as ops/householder.tridiagonalize,
+    and like it the whole panel loop is traced into ONE XLA program
+    (dispatch latency through a tunneled TPU dominates eager loops).
     """
     n = a.shape[0]
     if nb % 2:
         nb += 1
+    if bucket <= 0:
+        bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
+    return _band2_reduce_fused(a, nb, bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "bucket"))
+def _band2_reduce_fused(a: jnp.ndarray, nb: int, bucket: int) -> BandResult:
+    n = a.shape[0]
     dtype = a.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
     d = jnp.zeros((n,), rdtype)
@@ -184,8 +192,6 @@ def band2_reduce(a: jnp.ndarray, nb: int = 64,
     e2 = jnp.zeros((max(n - 2, 1),), rdtype)
     v_full = jnp.zeros((n, n), dtype)
     tau_full = jnp.zeros((n,), dtype)
-    if bucket <= 0:
-        bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
 
     m_act = n
     mb = _round_up(m_act, bucket)

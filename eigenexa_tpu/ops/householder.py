@@ -198,13 +198,25 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64,
     (real) / src/eigen_hrd.F:1 (complex).
 
     The panel loop runs in Python so each trailing slice has a static
-    shape.  Trailing sizes are BUCKETED (rounded up to `bucket`, default
-    max(4·nb, n/8)) with zero padding — the panel math is transparent to
-    trailing zeros, so this trades ≲12% extra GEMM flops for ~8× fewer
-    compiled shapes, which matters enormously on backends with slow
-    compiles (reference contrast: cyclic(1) MPI ranks never re-"compile",
-    but an XLA program is per-shape).
+    shape, and the WHOLE loop is traced into one XLA program (the
+    `_tridiagonalize_fused` jit below): an eager loop would dispatch ~6
+    programs per panel, and per-dispatch latency on a tunneled TPU
+    dominates the n=2048 solve.  Trailing sizes are BUCKETED (rounded up
+    to `bucket`, default max(4·nb, n/8)) with zero padding — the panel
+    math is transparent to trailing zeros, so this trades ≲12% extra GEMM
+    flops for ~8× fewer distinct trailing shapes, bounding trace/compile
+    cost (reference contrast: cyclic(1) MPI ranks never re-"compile", but
+    an XLA program is per-shape).
     """
+    n = a.shape[0]
+    if bucket <= 0:
+        bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
+    return _tridiagonalize_fused(a, nb, bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "bucket"))
+def _tridiagonalize_fused(a: jnp.ndarray, nb: int,
+                          bucket: int) -> TridiagResult:
     n = a.shape[0]
     dtype = a.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
@@ -212,8 +224,6 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64,
     e = jnp.zeros((max(n - 1, 1),), rdtype)
     v_full = jnp.zeros((n, n), dtype)
     tau_full = jnp.zeros((n,), dtype)
-    if bucket <= 0:
-        bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
 
     # padded working matrix: trailing block at top-left, zeros beyond
     m_act = n

@@ -64,8 +64,10 @@ def set_enabled(flag: bool) -> None:
 
     householder._tridiag_step.clear_cache()
     householder._remainder_step.clear_cache()
+    householder._tridiagonalize_fused.clear_cache()
     band._band2_step.clear_cache()
     band._band2_remainder.clear_cache()
+    band._band2_reduce_fused.clear_cache()
 
 
 def _sub_matmul_kernel(b_ref, p_ref, q_ref, o_ref):

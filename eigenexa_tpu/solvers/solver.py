@@ -34,6 +34,7 @@ from eigenexa_tpu.ops.householder import tridiagonalize
 from eigenexa_tpu.solvers import dc
 from eigenexa_tpu.solvers.trbak import back_transform
 from eigenexa_tpu.runtime import EigenContext, default_context
+from eigenexa_tpu.utils.sync import device_sync
 
 MODES = ("A", "N", "X", "S", "T", "C", "R")
 
@@ -219,7 +220,7 @@ def eigen_s(
         with jax.default_matmul_precision(cfg.matmul_precision):
             w, z = _solve_stage_r(stage_data, nvec, band=1,
                                   vec_dtype=vec_dtype)
-        w = w.block_until_ready()
+        device_sync(w, z)
         n = w.shape[0]
         return w, z, SolveInfo(
             flops=4.0 / 3.0 * n**3, elapsed=time.perf_counter() - t0,
@@ -233,7 +234,7 @@ def eigen_s(
     with jax.default_matmul_precision(cfg.matmul_precision):
         w, z = _solve_core(a, nvec, mode, cfg.panel_forward,
                            cfg.panel_backward)
-    w = w.block_until_ready()
+    device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
         flops=flop_model(n, nvec, mode in ("A", "X", "S")),
@@ -269,7 +270,7 @@ def eigen_sx(
         with jax.default_matmul_precision(cfg.matmul_precision):
             w, z = _solve_stage_r(stage_data, nvec, band=2,
                                   vec_dtype=vec_dtype)
-        w = w.block_until_ready()
+        device_sync(w, z)
         n = w.shape[0]
         return w, z, SolveInfo(
             flops=4.0 / 3.0 * n**3, elapsed=time.perf_counter() - t0,
@@ -281,7 +282,7 @@ def eigen_sx(
     with jax.default_matmul_precision(cfg.matmul_precision):
         w, z = _solve_core(a, nvec, mode, cfg.panel_forward,
                            cfg.panel_backward, band=2)
-    w = w.block_until_ready()
+    device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
         flops=flop_model(n, nvec, mode in ("A", "X", "S")),

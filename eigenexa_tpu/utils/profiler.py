@@ -49,7 +49,11 @@ class Profiler:
             yield
         finally:
             if self.sync and sync_on is not None:
-                jax.block_until_ready(sync_on)
+                # block_until_ready is untrustworthy on the axon tunnel
+                # backend; device_sync forces a dependent scalar fetch
+                from eigenexa_tpu.utils.sync import device_sync
+
+                device_sync(sync_on)
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -27,23 +27,24 @@ a = jax.device_put(a, jax.devices()[0])
 from eigenexa_tpu.ops.householder import tridiagonalize  # noqa: E402
 from eigenexa_tpu.solvers import dc  # noqa: E402
 from eigenexa_tpu.solvers.trbak import back_transform  # noqa: E402
+from eigenexa_tpu.utils.sync import device_sync  # noqa: E402
 
 with jax.default_matmul_precision("highest"):
     # warmup + timed, per stage
     for it in range(2):
         t0 = time.perf_counter()
         trd = tridiagonalize(a, nb=64)
-        trd.d.block_until_ready()
+        device_sync(trd)
         t_trd = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         w, s = dc.solve_tridiag(trd.d, trd.e, vec_dtype=dtype)
-        s.block_until_ready()
+        device_sync(w, s)
         t_dc = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         z = back_transform(s, trd.v, trd.tau, nb=128)
-        z.block_until_ready()
+        device_sync(z)
         t_bk = time.perf_counter() - t0
     print(f"n={n} trd={t_trd:.3f}s dc={t_dc:.3f}s trbak={t_bk:.3f}s")
 
