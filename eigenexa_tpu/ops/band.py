@@ -193,29 +193,49 @@ def _band2_reduce_fused(a: jnp.ndarray, nb: int, bucket: int) -> BandResult:
     v_full = jnp.zeros((n, n), dtype)
     tau_full = jnp.zeros((n,), dtype)
 
-    m_act = n
-    mb = _round_up(m_act, bucket)
-    b = a
-    if mb > n:
-        b = jnp.zeros((mb, mb), dtype).at[:n, :n].set(a)
-
-    k = 0
+    # panel schedule: group consecutive panels whose bucket-padded trailing
+    # shape coincides -> one lax.scan per group (compile cost scales with
+    # the number of buckets, not panels; see ops/householder.py)
+    groups = []  # [(padded shape, [global column offsets])]
+    m_act, k = n, 0
     while m_act > nb + 2:
-        mb = _round_up(m_act, bucket) if m_act > 4 * nb else _round_up(
-            m_act, 2)
-        if b.shape[0] > mb:
-            b = b[:mb, :mb]
-        elif b.shape[0] < mb:
-            bp = jnp.zeros((mb, mb), dtype)
-            b = bp.at[:b.shape[0], :b.shape[0]].set(b)
-        b, u_p, w_p, tau_p, d_p, e1_p, e2_p = _band2_step(b, nb)
-        d = lax.dynamic_update_slice(d, d_p, (k,))
-        e1 = lax.dynamic_update_slice(e1, e1_p, (k,))
-        e2 = lax.dynamic_update_slice(e2, e2_p, (k,))
-        v_full = v_full.at[k:, k : k + nb].set(u_p[: n - k])
-        tau_full = lax.dynamic_update_slice(tau_full, tau_p, (k,))
+        s = (_round_up(m_act, bucket) if m_act > 4 * nb
+             else _round_up(m_act, nb))
+        if groups and groups[-1][0] == s:
+            groups[-1][1].append(k)
+        else:
+            groups.append((s, [k]))
         k += nb
         m_act -= nb
+
+    b = a
+    if groups and groups[0][0] != n:
+        s0 = groups[0][0]
+        b = jnp.zeros((s0, s0), dtype).at[:n, :n].set(a)
+
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update
+
+    for s, offs in groups:
+        if b.shape[0] > s:
+            b = b[:s, :s]  # active block is top-left; tail is zero/dead
+
+        def body(bc, _):
+            u_p, w_p, tau_p = band2_panel(bc, nb)
+            d_p, e1_p, e2_p = _extract_band(bc, u_p, w_p, nb)
+            b2 = rank2k_update(bc[nb:, nb:], u_p[nb:], w_p[nb:])
+            bn = jnp.zeros_like(bc).at[:-nb, :-nb].set(b2)
+            return bn, (u_p, tau_p, d_p, e1_p, e2_p)
+
+        b, (us, taus, ds, e1s, e2s) = lax.scan(body, b, None,
+                                               length=len(offs))
+        for j, kg in enumerate(offs):
+            d = lax.dynamic_update_slice(d, ds[j], (kg,))
+            e1 = lax.dynamic_update_slice(e1, e1s[j], (kg,))
+            e2 = lax.dynamic_update_slice(e2, e2s[j], (kg,))
+            v_full = v_full.at[kg:, kg : kg + nb].set(us[j][: n - kg])
+            tau_full = lax.dynamic_update_slice(tau_full, taus[j], (kg,))
+
+    k = sum(len(offs) for _, offs in groups) * nb
 
     # remainder (m <= nb+2): two zero pad rows/cols keep extraction
     # in-bounds; masks make out-of-range reflectors exact no-ops

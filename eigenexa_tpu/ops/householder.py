@@ -197,16 +197,17 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64,
     returned v (global indexing).  Driver analogue: src/eigen_trd.F:82
     (real) / src/eigen_hrd.F:1 (complex).
 
-    The panel loop runs in Python so each trailing slice has a static
-    shape, and the WHOLE loop is traced into one XLA program (the
+    The whole loop is traced into one XLA program (the
     `_tridiagonalize_fused` jit below): an eager loop would dispatch ~6
     programs per panel, and per-dispatch latency on a tunneled TPU
-    dominates the n=2048 solve.  Trailing sizes are BUCKETED (rounded up
-    to `bucket`, default max(4·nb, n/8)) with zero padding — the panel
-    math is transparent to trailing zeros, so this trades ≲12% extra GEMM
-    flops for ~8× fewer distinct trailing shapes, bounding trace/compile
-    cost (reference contrast: cyclic(1) MPI ranks never re-"compile", but
-    an XLA program is per-shape).
+    dominates the n=2048 solve.  Panels whose bucket-padded trailing shape
+    coincides are run as ONE ``lax.scan`` (the working matrix keeps the
+    padded shape and is rolled up-left by nb after each panel), so trace
+    and compile cost scale with the number of BUCKETS (~8), not panels
+    (n/nb) — the panel math is transparent to trailing zeros, and the
+    padding trades ≲12% extra GEMM flops for a compile time independent
+    of n/nb (reference contrast: cyclic(1) MPI ranks never re-"compile",
+    but an XLA program is per-shape).
     """
     n = a.shape[0]
     if bucket <= 0:
@@ -225,25 +226,49 @@ def _tridiagonalize_fused(a: jnp.ndarray, nb: int,
     v_full = jnp.zeros((n, n), dtype)
     tau_full = jnp.zeros((n,), dtype)
 
-    # padded working matrix: trailing block at top-left, zeros beyond
-    m_act = n
-    mb = _round_up(m_act, bucket)
-    b = a
-    if mb > n:
-        b = jnp.zeros((mb, mb), dtype).at[:n, :n].set(a)
-
-    k = 0
+    # panel schedule: consecutive panels sharing a bucket-padded trailing
+    # shape form one group -> one lax.scan per group
+    groups = []  # [(padded shape, [global column offsets])]
+    m_act, k = n, 0
     while m_act > nb:
-        mb = _round_up(m_act, bucket) if m_act > 4 * nb else m_act
-        if b.shape[0] > mb:
-            b = b[:mb, :mb]
-        b, u_p, w_p, tau_p, e_p, diag = _tridiag_step(b, nb)
-        d = lax.dynamic_update_slice(d, diag, (k,))
-        e = lax.dynamic_update_slice(e, e_p, (k,))
-        v_full = v_full.at[k:, k : k + nb].set(u_p[: n - k])
-        tau_full = lax.dynamic_update_slice(tau_full, tau_p, (k,))
+        s = (_round_up(m_act, bucket) if m_act > 4 * nb
+             else _round_up(m_act, nb))
+        if groups and groups[-1][0] == s:
+            groups[-1][1].append(k)
+        else:
+            groups.append((s, [k]))
         k += nb
         m_act -= nb
+
+    b = a
+    if groups and groups[0][0] != n:
+        s0 = groups[0][0]
+        b = jnp.zeros((s0, s0), dtype).at[:n, :n].set(a)
+
+    for s, offs in groups:
+        if b.shape[0] > s:
+            b = b[:s, :s]  # active block is top-left; tail is zero/dead
+
+        def body(bc, _):
+            u_p, w_p, tau_p, e_p = tridiag_panel(bc, nb)
+            diag = _panel_diag(bc, u_p, w_p, nb)
+            from eigenexa_tpu.ops.pallas_kernels import rank2k_update
+
+            b2 = rank2k_update(bc[nb:, nb:], u_p[nb:], w_p[nb:])
+            # roll the trailing matrix up-left, keeping the padded shape
+            # (the freed border becomes zeros, which every panel op treats
+            # as inert)
+            bn = jnp.zeros_like(bc).at[: -nb, : -nb].set(b2)
+            return bn, (u_p, tau_p, e_p, diag)
+
+        b, (us, taus, es, diags) = lax.scan(body, b, None, length=len(offs))
+        for j, kg in enumerate(offs):
+            d = lax.dynamic_update_slice(d, diags[j], (kg,))
+            e = lax.dynamic_update_slice(e, es[j], (kg,))
+            v_full = v_full.at[kg:, kg : kg + nb].set(us[j][: n - kg])
+            tau_full = lax.dynamic_update_slice(tau_full, taus[j], (kg,))
+
+    k = sum(len(offs) for _, offs in groups) * nb
 
     # remainder block (m <= nb): factor its columns; no trailing update
     m = n - k

@@ -300,6 +300,25 @@ def solve_tridiag_dc(
     if leaf_kind == "analytic2":
         leaf = 2
     leaf = max(2, min(leaf, n))
+    return _solve_tridiag_fused(
+        d, e, leaf=leaf, vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+        work_dtype=work_dtype, leaf_kind=leaf_kind,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "vec_dtype", "n_iter", "work_dtype",
+                     "leaf_kind"),
+)
+def _solve_tridiag_fused(d, e, *, leaf: int, vec_dtype, n_iter: int,
+                         work_dtype, leaf_kind: str):
+    """The whole pad → leaves → merge-tree pipeline as ONE XLA program.
+
+    Per-level dispatch latency through a tunneled TPU is ~tens of ms; at
+    n=2048 the 10 separate level/glue dispatches cost more than the D&C
+    math itself.  All shapes are static functions of (n, leaf)."""
+    n = d.shape[0]
     m, levels = _pad_sizes(n, leaf)
 
     wdt = work_dtype

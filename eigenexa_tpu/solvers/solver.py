@@ -24,6 +24,7 @@ src/eigen_sx.F:159-221):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional, Tuple
 
@@ -197,6 +198,23 @@ def _solve_core_band2(a_s, sigma, nvec: int, mode: str, nb_f: int,
     raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
 
+# the fully-fused solve: scale → TRD → D&C → TRBAK as ONE XLA program.
+# Usable whenever the D&C stage takes its traceable jax impl (CPU, or f32
+# vectors — dc_tree.solve_tridiag_dc's dispatch rule); the TPU-f64 path
+# keeps the staged eager orchestration (host D&C is not traceable).
+_solve_core_jit = functools.partial(
+    jax.jit,
+    static_argnames=("nvec", "mode", "nb_f", "nb_b", "dc_leaf", "band"),
+)(_solve_core)
+
+
+def _core_traceable(a, mode: str, band: int) -> bool:
+    if band != 1 or mode not in ("A", "N", "X", "S", "T", "C"):
+        return False
+    return (jax.default_backend() == "cpu"
+            or jnp.dtype(a.dtype) == jnp.dtype(jnp.float32))
+
+
 def eigen_s(
     a: Optional[jnp.ndarray],
     nvec: Optional[int] = None,
@@ -231,9 +249,11 @@ def eigen_s(
     t0 = time.perf_counter()
     # TPU f32 matmuls default to bf16 MXU passes (~1e-2 orthogonality!);
     # the solver's accuracy contract requires true-f32 accumulation.
+    core = (_solve_core_jit if _core_traceable(a, mode, 1)
+            else _solve_core)
     with jax.default_matmul_precision(cfg.matmul_precision):
-        w, z = _solve_core(a, nvec, mode, cfg.panel_forward,
-                           cfg.panel_backward)
+        w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
+                    nb_b=cfg.panel_backward)
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
@@ -279,9 +299,11 @@ def eigen_sx(
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
+    core = (_solve_core_jit if _core_traceable(a, mode, 2)
+            else _solve_core)
     with jax.default_matmul_precision(cfg.matmul_precision):
-        w, z = _solve_core(a, nvec, mode, cfg.panel_forward,
-                           cfg.panel_backward, band=2)
+        w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
+                    nb_b=cfg.panel_backward, band=2)
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(

@@ -1,0 +1,106 @@
+"""Real-pair embedding Hermitian path (solvers/hermitian.py,
+ops/zreal.py) vs the native complex path.
+
+Reference capability: eigen_h (src/eigen_h.F:28).  The embedding path
+exists for complex-less backends (the axon TPU tunnel); it must match the
+native path's accuracy contract (ev_test/w_test thresholds) on CPU, where
+both run.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigenexa_tpu.solvers.hermitian import eigen_h, eigen_h_realpair
+
+
+def _rand_hermitian(n, seed=0, dtype=np.complex128):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    return ((a + a.conj().T) / 2).astype(dtype)
+
+
+def _degenerate_hermitian(n, mult=4, seed=1):
+    """Spectrum with eigenvalue multiplicity `mult` (complex multiplicity,
+    so the embedding sees clusters of 2·mult) — exercises the cluster
+    repair in the extraction."""
+    rng = np.random.default_rng(seed)
+    h = _rand_hermitian(n, seed=seed)
+    _, q = np.linalg.eigh(h)
+    w = np.repeat(np.arange(1, n // mult + 1, dtype=np.float64), mult)[:n]
+    return (q * w[None, :]) @ q.conj().T, np.sort(w)
+
+
+def _check(a, w, z, tol_scale=1.0):
+    n = a.shape[0]
+    eps = np.finfo(np.float64).eps
+    zc = z.to_numpy() if hasattr(z, "to_numpy") else np.asarray(z)
+    r = np.linalg.norm(a @ zc - zc * np.asarray(w)[None, : zc.shape[1]])
+    r /= max(n * eps * np.linalg.norm(a), 1e-300)
+    o = np.linalg.norm(zc.conj().T @ zc - np.eye(zc.shape[1]))
+    o /= (n * eps)
+    assert r < 768 * tol_scale, f"residual ratio {r}"
+    assert o < 8 * tol_scale, f"orthogonality ratio {o}"
+
+
+def test_realpair_matches_native_random():
+    n = 48
+    a = _rand_hermitian(n)
+    w_n, z_n, _ = eigen_h(jnp.asarray(a))
+    ar = jnp.asarray(np.ascontiguousarray(a.real))
+    ai = jnp.asarray(np.ascontiguousarray(a.imag))
+    w_e, z_e, _ = eigen_h_realpair(ar, ai)
+    np.testing.assert_allclose(np.asarray(w_e), np.asarray(w_n),
+                               rtol=0, atol=1e-10 * n)
+    _check(a, w_e, z_e)
+
+
+def test_realpair_degenerate_clusters():
+    n = 48
+    a, w_true = _degenerate_hermitian(n, mult=4)
+    ar = jnp.asarray(np.ascontiguousarray(a.real))
+    ai = jnp.asarray(np.ascontiguousarray(a.imag))
+    w, z, _ = eigen_h_realpair(ar, ai)
+    np.testing.assert_allclose(np.asarray(w), w_true, rtol=0, atol=1e-10 * n)
+    _check(a, w, z)
+
+
+def test_realpair_eigenvalues_only_and_refined():
+    n = 32
+    a = _rand_hermitian(n, seed=3)
+    ar = jnp.asarray(np.ascontiguousarray(a.real))
+    ai = jnp.asarray(np.ascontiguousarray(a.imag))
+    w_ref = np.linalg.eigvalsh(a)
+    for mode in ("N", "X"):
+        w, z, _ = eigen_h_realpair(ar, ai, mode=mode)
+        np.testing.assert_allclose(np.asarray(w), w_ref, rtol=0,
+                                   atol=1e-9 * n)
+        assert (z is None) == (mode == "N")
+
+
+def test_realpair_nvec_subset():
+    n = 40
+    a = _rand_hermitian(n, seed=5)
+    ar = jnp.asarray(np.ascontiguousarray(a.real))
+    ai = jnp.asarray(np.ascontiguousarray(a.imag))
+    w, z, _ = eigen_h_realpair(ar, ai, nvec=7)
+    assert z.re.shape == (n, 7)
+    zc = z.to_numpy()
+    r = np.linalg.norm(a @ zc - zc * np.asarray(w)[None, :7])
+    assert r / np.linalg.norm(a) < 1e-12
+
+
+def test_realpair_rejects_stage_modes():
+    a = _rand_hermitian(8)
+    ar = jnp.asarray(np.ascontiguousarray(a.real))
+    ai = jnp.asarray(np.ascontiguousarray(a.imag))
+    with pytest.raises(ValueError):
+        eigen_h_realpair(ar, ai, mode="S")
+
+
+def test_eigen_h_accepts_pair_input():
+    a = _rand_hermitian(24, seed=7)
+    ar = jnp.asarray(np.ascontiguousarray(a.real))
+    ai = jnp.asarray(np.ascontiguousarray(a.imag))
+    w, z, _ = eigen_h((ar, ai))
+    _check(a, w, z)
