@@ -82,6 +82,13 @@ def main():
 
     r = residual_check(a, z, w)
     o = orthogonality_check(z)
+
+    # run-to-run bitwise reproducibility (reference headline contract:
+    # benchmark_h/bench_eigen_h.f double-run compare — max|w−w'| and
+    # max|z−z'| must be exactly 0)
+    # compared on-device (full d2h of z would cost seconds on the tunnel)
+    w2, z2, _ = eigen_s(a, ctx=ctx)
+    repro = bool(jnp.array_equal(w, w2)) and bool(jnp.array_equal(z, z2))
     model_flops = (4.0 / 3.0 + 2.0) * n**3  # TRD + TRBAK models (ref counts)
     print(
         json.dumps(
@@ -97,6 +104,7 @@ def main():
                     "orthogonality": round(o.value, 2),
                     "residual_pass": bool(r.passed),
                     "ortho_pass": bool(o.passed),
+                    "repro_bitwise": repro,
                     "device": str(dev),
                 },
             }

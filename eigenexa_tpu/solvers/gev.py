@@ -57,7 +57,9 @@ def eigen_gev(
         a2 = 0.5 * (a2 + a2.T)  # re-symmetrize (fp congruence)
         w, z2, info_a = eigen_s(a2, nvec=nvec, mode="A", ctx=ctx)
         z = f @ z2
-    z = z.block_until_ready()
+    from eigenexa_tpu.utils.sync import device_sync
+
+    device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
         flops=info_b.flops + info_a.flops + 3 * 2.0 * n**3,

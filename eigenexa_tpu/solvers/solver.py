@@ -79,13 +79,30 @@ class SolveInfo:
         return self.flops / self.elapsed / 1e9 if self.elapsed > 0 else 0.0
 
 
+def dc_flop_model(n: int, leaf: int = 2) -> float:
+    """Counted flops of the batched merge tree (the analogue of the
+    reference's runtime `flops` accumulator, src/eigen_dc.F:14): per level
+    with block size s the eigenvector cascade does (m/2s) merges of two
+    (s×s)·(s×2s) GEMMs each = 4·m·s² flops; geometric sum ≈ (4/3)·m³.
+    The secular iterations are O(m²·n_iter) per level — negligible next
+    to the cascade and not counted (matches the reference's under-count
+    note, benchmark/main2.f:461-470)."""
+    m = leaf
+    while m < n:
+        m *= 2
+    total, s = 0.0, leaf
+    while 2 * s <= m:
+        total += 4.0 * m * s * s
+        s *= 2
+    return total
+
+
 def flop_model(n: int, nvec: int, with_trbak: bool) -> float:
     """The reference's reported-GFLOPS flop model
     (TRD 4/3·n³: src/eigen_s.F:177; TRBAK 2·nvec·n²: src/eigen_s.F:248;
-    D&C counted separately at runtime — approximated 4/3·n³ here as the
-    dense-solve upper bound until the tree solver reports its own count)."""
+    D&C counted via dc_flop_model)."""
     f = 4.0 / 3.0 * n**3
-    f += 4.0 / 3.0 * n**3  # reduced-solve upper bound
+    f += dc_flop_model(n)
     if with_trbak:
         f += 2.0 * nvec * n**2
     return f

@@ -13,7 +13,8 @@ _cache = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp  # noqa: E402
+import jax.numpy as jnp
+from eigenexa_tpu.utils.sync import device_sync  # noqa: E402
 import numpy as np  # noqa: E402
 
 from eigenexa_tpu.solvers.dc_host import merge_batch  # noqa: E402
@@ -63,7 +64,7 @@ for rep in range(2):
     np_vdt = np.dtype(vec_dtype)
     t0 = time.perf_counter()
     q = jnp.asarray(q_np.astype(np_vdt))
-    q.block_until_ready()
+    device_sync(q)
     mark("h2d", t0)
 
     for lvl in range(levels):
@@ -84,12 +85,12 @@ for rep in range(2):
         mark("cast", t0)
         t0 = time.perf_counter()
         cud = jnp.asarray(cu32)
-        cud.block_until_ready()
+        device_sync(cud)
         mark("h2d", t0)
         q2 = q.reshape(bsz // 2, 2, s, s)
         t0 = time.perf_counter()
         q = _apply_level_gemm(q2, cud, s)
-        q.block_until_ready()
+        device_sync(q)
         mark("gemm", t0)
         t0 = time.perf_counter()
         row0 = np.einsum("bs,bsm->bm", r0[:, 0, :], cu[:, :s, :])
