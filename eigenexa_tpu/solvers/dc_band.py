@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from eigenexa_tpu.ops.secular import rank1_merge_core
 from eigenexa_tpu.solvers.dc_host import merge_batch
 
 # canonical f64: float64 under x64, float32 otherwise.  Using
@@ -118,10 +119,37 @@ def solve_band2_dc(
     leaf: int = 32,
     vec_dtype=None,
     n_iter: int = 16,
+    impl: str = None,
+    work_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition T = S·diag(w)·Sᵀ of the pentadiagonal
-    (d, e1, e2).  Returns ascending (w (n,) f64, S (n, n) in vec_dtype)."""
+    (d, e1, e2).  Returns ascending (w (n,), S (n, n) in vec_dtype).
+
+    impl: 'jax' (fully jitted two-merge tree, ONE XLA program — default on
+    CPU and for f32 vectors, mirroring dc_tree.solve_tridiag_dc's
+    dispatch) or 'host' (numpy secular core + device GEMM cascades — the
+    TPU-f64 path)."""
     vec_dtype = vec_dtype or d.dtype
+    on_cpu = jax.default_backend() == "cpu"
+    f32_vecs = jnp.dtype(vec_dtype) == jnp.dtype(jnp.float32)
+    if impl is None:
+        impl = "jax" if (on_cpu or f32_vecs) else "host"
+    if impl == "jax":
+        if work_dtype is None:
+            work_dtype = (jnp.dtype(jnp.float32)
+                          if (not on_cpu and f32_vecs)
+                          else jax.dtypes.canonicalize_dtype(np.float64))
+        work_dtype = jnp.dtype(work_dtype)
+        n = d.shape[0]
+        if n == 1:
+            return d.astype(work_dtype), jnp.ones((1, 1), vec_dtype)
+        leaf = max(4, min(leaf, n))
+        return _solve_band2_fused(
+            jnp.asarray(d), jnp.asarray(e1), jnp.asarray(e2),
+            leaf=leaf, vec_dtype=jnp.dtype(vec_dtype),
+            n_iter=min(n_iter, 16) if work_dtype == jnp.dtype(
+                jnp.float32) else n_iter,
+            work_dtype=work_dtype)
     d = np.asarray(d, np.float64)
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
@@ -225,3 +253,149 @@ def solve_band2_dc(
     w = w.reshape(m)
     q = q.reshape(m, m)
     return jnp.asarray(w[:n]), q[:n, :n]
+
+
+# ---------------------------------------------------------------------------
+# fully-traceable (jitted) implementation — the TPU-f32 / CPU default
+# ---------------------------------------------------------------------------
+
+def _cut_vectors_jnp(e1_pad, e2_pad, p, wdt):
+    """jnp twin of _cut_vectors (vectorized over cut positions)."""
+    th1 = e1_pad[p - 1]
+    th2a = e2_pad[p - 2]
+    th2b = e2_pad[p - 1]
+    mag = jnp.hypot(th1, th2a)
+    c = jnp.sqrt(mag)
+    safe = jnp.where(c > 0, c, 1.0)
+    a = jnp.where(c > 0, th2a / safe, 0.0).astype(wdt)
+    b = jnp.where(c > 0, th1 / safe, 0.0).astype(wdt)
+    f = jnp.sqrt(jnp.abs(th2b))
+    h = jnp.where(th2b >= 0, f, -f).astype(wdt)
+    return a, b, c.astype(wdt), f.astype(wdt), h
+
+
+def _leaf_eigh_band2_jax(db, e1b, e2b, wdt):
+    """Traceable leaf solve: assemble dense pentadiagonal blocks, batched
+    eigh (the LAPACK_EIGEN2 analogue on device)."""
+    bsz, s = db.shape
+
+    def assemble(dv, e1v, e2v):
+        t = jnp.diag(dv)
+        if s > 1:
+            t = t + jnp.diag(e1v, 1) + jnp.diag(e1v, -1)
+        if s > 2:
+            t = t + jnp.diag(e2v, 2) + jnp.diag(e2v, -2)
+        return t
+
+    t = jax.vmap(assemble)(db.astype(wdt), e1b.astype(wdt),
+                           e2b.astype(wdt))
+    return jnp.linalg.eigh(t)
+
+
+def _merge_level_band2(w, q, rows_lo, rows_hi, a, b, c, f, h,
+                       vec_dtype, n_iter, work_dtype):
+    """One level: join pairs with TWO rank-1 merges (HBW=2 structure,
+    reference: my_pdlaed0.F:18 performing HBW merges per join).
+
+    w: (B, s) ascending per block; q: (B, s, s) vec_dtype;
+    rows_lo/rows_hi: (B, 2, s) first-two/last-two eigenvector rows in the
+    working dtype; a..h: (B/2,) cut-vector coefficients."""
+    wdt = work_dtype
+    bsz, s = w.shape
+    d2 = w.reshape(bsz // 2, 2, s)
+    q2 = q.reshape(bsz // 2, 2, s, s)
+    rl = rows_lo.reshape(bsz // 2, 2, 2, s)
+    rh = rows_hi.reshape(bsz // 2, 2, 2, s)
+    one = jnp.ones((), wdt)
+
+    def merge_one(dpair, qpair, rlp, rhp, ab, bb, cb, fb, hb):
+        dm = jnp.concatenate([dpair[0], dpair[1]]).astype(wdt)
+        # merge 1: u1 = a·δ_{p-2} + b·δ_{p-1} + c·δ_p  (pair coords, p = s)
+        z1 = jnp.concatenate([ab * rhp[0, 0] + bb * rhp[0, 1],
+                              cb * rlp[1, 0]])
+        core1 = rank1_merge_core(dm, z1, one, n_iter=n_iter,
+                                 work_dtype=wdt)
+        c1 = jnp.zeros_like(core1.c).at[core1.perm, :].set(core1.c)
+        # boundary rows through C1 (block-diagonal split: left rows live in
+        # coords [:s], right rows in [s:])
+        lo1 = rlp[0] @ c1[:s]          # pair rows 0,1
+        hi1 = rhp[1] @ c1[s:]          # pair rows 2s-2, 2s-1
+        row_pm1 = rhp[0, 1] @ c1[:s]   # row p-1 (last row of left)
+        row_pp1 = rlp[1, 1] @ c1[s:]   # row p+1 (2nd row of right)
+        # merge 2: u2 = f·δ_{p-1} + h·δ_{p+1} in the merged basis
+        z2 = fb * row_pm1 + hb * row_pp1
+        core2 = rank1_merge_core(core1.lam, z2, one, n_iter=n_iter,
+                                 work_dtype=wdt)
+        c2 = jnp.zeros_like(core2.c).at[core2.perm, :].set(core2.c)
+        cc = c1 @ c2                    # (2s, 2s) combined, work dtype
+        cu = cc.astype(vec_dtype)
+        top = qpair[0] @ cu[:s, :]
+        bot = qpair[1] @ cu[s:, :]
+        return (core2.lam, jnp.concatenate([top, bot], axis=0),
+                lo1 @ c2, hi1 @ c2)
+
+    return jax.vmap(merge_one)(d2, q2, rl, rh, a, b, c, f, h)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "vec_dtype", "n_iter", "work_dtype"),
+)
+def _solve_band2_fused(d, e1, e2, *, leaf: int, vec_dtype, n_iter: int,
+                       work_dtype):
+    """The whole band-2 pad → leaves → two-merge tree as ONE XLA program
+    (same dispatch-latency rationale as dc_tree._solve_tridiag_fused)."""
+    wdt = work_dtype
+    n = d.shape[0]
+    m, levels = _pad_sizes(n, leaf)
+    d = d.astype(wdt)
+    e1 = e1.astype(wdt)
+    e2 = e2.astype(wdt)
+
+    span = (jnp.max(jnp.abs(d))
+            + (jnp.max(jnp.abs(e1)) if n > 1 else 0.0)
+            + (jnp.max(jnp.abs(e2)) if n > 2 else 0.0))
+    base = jnp.maximum(span, jnp.finfo(wdt).tiny)
+    d_pad = jnp.concatenate(
+        [d, 2.0 * base + (base / m) * jnp.arange(m - n, dtype=wdt)])
+    e1_pad = jnp.concatenate([e1, jnp.zeros((m - n + 1,), wdt)])
+    e2_pad = jnp.concatenate([e2, jnp.zeros((m - n + 2,), wdt)])
+
+    cuts = jnp.asarray(np.arange(leaf, m, leaf))
+    a_all, b_all, c_all, f_all, h_all = _cut_vectors_jnp(
+        e1_pad, e2_pad, cuts, wdt)
+    d_mod = d_pad
+    d_mod = d_mod.at[cuts - 2].add(-a_all * a_all)
+    d_mod = d_mod.at[cuts - 1].add(-(b_all * b_all + f_all * f_all))
+    d_mod = d_mod.at[cuts].add(-c_all * c_all)
+    d_mod = d_mod.at[cuts + 1].add(-h_all * h_all)
+    e1_mod = e1_pad.at[cuts - 2].add(-a_all * b_all)
+
+    nblk = m // leaf
+    d_blocks = d_mod.reshape(nblk, leaf)
+    i1 = (np.arange(nblk)[:, None] * leaf
+          + np.arange(leaf - 1)[None, :]).reshape(-1)
+    e1_blocks = e1_mod[jnp.asarray(i1)].reshape(nblk, leaf - 1)
+    i2 = (np.arange(nblk)[:, None] * leaf
+          + np.arange(leaf - 2)[None, :]).reshape(-1)
+    e2_blocks = e2_pad[jnp.asarray(i2)].reshape(nblk, leaf - 2)
+    w, q = _leaf_eigh_band2_jax(d_blocks, e1_blocks, e2_blocks, wdt)
+
+    rows_lo = q[:, :2, :].astype(wdt)
+    rows_hi = q[:, -2:, :].astype(wdt)
+    q = q.astype(vec_dtype)
+
+    for lvl in range(levels):
+        s = leaf * (2 ** lvl)
+        ci = jnp.asarray((np.arange(s, m, 2 * s) // leaf) - 1)
+        w, q, rows_lo, rows_hi = _merge_level_band2(
+            w, q, rows_lo, rows_hi,
+            a_all[ci], b_all[ci], c_all[ci], f_all[ci], h_all[ci],
+            vec_dtype=vec_dtype, n_iter=n_iter, work_dtype=wdt)
+        bsz = w.shape[0]
+        rows_lo = rows_lo.reshape(bsz, 2, 2 * s)
+        rows_hi = rows_hi.reshape(bsz, 2, 2 * s)
+
+    w = w.reshape(m)
+    q = q.reshape(m, m)
+    return w[:n], q[:n, :n]

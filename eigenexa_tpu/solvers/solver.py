@@ -226,7 +226,9 @@ _solve_core_jit = functools.partial(
 
 
 def _core_traceable(a, mode: str, band: int) -> bool:
-    if band != 1 or mode not in ("A", "N", "X", "S", "T", "C"):
+    # band=1 D&C and (since the fused two-merge tree) band=2 are both
+    # traceable whenever they take their jax impls
+    if mode not in ("A", "N", "X", "S", "T", "C"):
         return False
     return (jax.default_backend() == "cpu"
             or jnp.dtype(a.dtype) == jnp.dtype(jnp.float32))

@@ -151,3 +151,29 @@ def test_eigen_sx_matches_eigen_s():
     w_sx, z_sx, _ = ex.eigen_sx(a)
     w_s, z_s, _ = ex.eigen_s(a)
     assert np.abs(np.asarray(w_sx) - np.asarray(w_s)).max() < 1e-11
+
+
+def test_band2_dc_impl_equivalence():
+    """jax (fused/jitted) and host implementations must both satisfy the
+    reference thresholds and agree on eigenvalues (reference: the HBW=2
+    two-merge scheme of my_pdlaed0.F:18)."""
+    import numpy as np
+
+    from eigenexa_tpu.solvers.dc_band import solve_band2_dc
+
+    rng = np.random.default_rng(0)
+    n = 150
+    d = jnp.asarray(rng.standard_normal(n) * 3)
+    e1 = jnp.asarray(rng.standard_normal(n - 1))
+    e2 = jnp.asarray(rng.standard_normal(n - 2))
+    t = (np.diag(np.asarray(d))
+         + np.diag(np.asarray(e1), 1) + np.diag(np.asarray(e1), -1)
+         + np.diag(np.asarray(e2), 2) + np.diag(np.asarray(e2), -2))
+    wref = np.linalg.eigvalsh(t)
+    for impl in ("jax", "host"):
+        w, s = solve_band2_dc(d, e1, e2, leaf=16, impl=impl)
+        sn = np.asarray(s)
+        assert np.max(np.abs(np.asarray(w) - wref)) < 1e-11 * n, impl
+        assert np.linalg.norm(t @ sn - sn * np.asarray(w)[None, :]) \
+            < 1e-11 * n, impl
+        assert np.linalg.norm(sn.T @ sn - np.eye(n)) < 1e-12 * n, impl
