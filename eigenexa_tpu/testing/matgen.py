@@ -170,6 +170,11 @@ def mat_set(
         w = w_set(n, mtype, dtype, w_file)
         a = designed(w, dtype)
         return a, jnp.sort(w)
+    if mtype in (-1, -2):
+        # Matrix-Market file input (reference: mat_set.f:220-245 reads
+        # A.mtx for -1 / B.mtx for -2 from the working directory)
+        a = load_matrix_market("A.mtx" if mtype == -1 else "B.mtx", dtype)
+        return a, None
     raise ValueError(f"unknown matrix type {mtype}")
 
 
