@@ -300,12 +300,19 @@ def wy_t_factor(v: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
     triangular solve — no sequential column loop, MXU-friendly.
     Columns with τ=0 have v=0 and drop out automatically.
     """
+    return wy_t_from_gram(jnp.conj(v.T) @ v, tau)
+
+
+def wy_t_from_gram(g: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
+    """`wy_t_factor` from a precomputed Gram matrix G = VᴴV — the form the
+    distributed back-transform needs, where G is assembled by a psum of
+    per-shard partial Grams (reference: the reduce_dbl of the SSᵀ=VᵀZ
+    products, src/trbakwy4_body.F:235)."""
     nb = tau.shape[0]
-    g = jnp.conj(v.T) @ v  # (nb, nb)
     safe_tau = jnp.where(tau != 0, tau, 1.0)
     inv_tau = jnp.where(tau != 0, 1.0 / safe_tau, 1.0)
     t_inv = jnp.triu(g, k=1) + jnp.diag(inv_tau)
-    eye = jnp.eye(nb, dtype=v.dtype)
+    eye = jnp.eye(nb, dtype=g.dtype)
     return jax.scipy.linalg.solve_triangular(t_inv, eye, lower=False)
 
 

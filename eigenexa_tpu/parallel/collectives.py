@@ -46,6 +46,33 @@ def psum_y(v):
     return lax.psum(v, "y")
 
 
+def psum_grid(v):
+    """Allreduce-sum over the whole 2D grid (both axes) — the analogue of a
+    reduce on TRD_COMM_WORLD (reference: src/eigen_devel.F:53)."""
+    return lax.psum(v, ("x", "y"))
+
+
+def pmax(v, axis):
+    """Allreduce-max along one mesh axis (used by the distributed
+    Householder norm pre-scaling, the analogue of the max-reduce inside
+    eigen_scaling / compute_u, src/eigen_trd_t4.F:81)."""
+    return lax.pmax(v, axis)
+
+
+def bcast_from_owner(v, owned, axis):
+    """Broadcast from the (single) shard where `owned` is True.
+
+    The workhorse of the distributed panel recurrence: 'the owner of global
+    row/column k sends it to everyone in its axis communicator' — the
+    masked-psum realization of bcast_dbl-from-computed-root
+    (reference: src/comm.F:726 with root = eigen_owner_node(...)).
+    `owned` must be True on exactly one shard per axis group; elsewhere the
+    contribution is zeroed so the psum is exactly the owner's value.
+    """
+    masked = jnp.where(owned, v, jnp.zeros_like(v))
+    return lax.psum(masked, axis)
+
+
 def bcast(v, axis: str, root=0):
     """Broadcast from `root` along one mesh axis
     (bcast_dbl, reference: src/comm.F:726).
@@ -74,6 +101,27 @@ def ppermute_shift(v, axis: str, shift: int = 1):
 # ---------------------------------------------------------------------------
 # datacast: row-distributed vector <-> column-distributed vector
 # ---------------------------------------------------------------------------
+
+def datacast_block(v_local, from_axis: str, to_axis: str, to_size: int):
+    """Block-layout transpose redistribution: a vector (or row-stack of
+    vectors) sharded along `from_axis` becomes the same data sharded along
+    `to_axis` (replicated over `from_axis`).
+
+    THE per-iteration communication of the distributed TRD/PRD — the
+    TPU-native ``datacast_dbl`` (reference: src/comm.F:1377, called from
+    src/eigen_trd_t2.F:161 every panel column).  The reference needs gcd
+    subgroup tables because its layout is cyclic(1); under block layout the
+    redistribution is one tiled all_gather along `from_axis` plus a local
+    static-size slice, which XLA lowers to a single ICI collective.
+
+    v_local: (m_from, ...) this shard's block (leading axis is the
+    distributed one).  Returns (to_size, ...): the slice of the full vector
+    owned along `to_axis`.
+    """
+    full = lax.all_gather(v_local, from_axis, tiled=True)
+    start = lax.axis_index(to_axis) * to_size
+    return lax.dynamic_slice_in_dim(full, start, to_size, axis=0)
+
 
 def datacast_x_to_y(v_local, n_local_y: int):
     """Redistribute a vector sharded along 'x' (replicated over 'y') into the

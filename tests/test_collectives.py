@@ -101,3 +101,39 @@ def test_redistribute_vector(mesh):
     # output shard y=c holds full[c::4]; concatenated along y in order
     expect = np.concatenate([full[c::4] for c in range(4)])
     np.testing.assert_allclose(out, expect)
+
+
+def test_bcast_from_owner(mesh):
+    x = jnp.arange(8.0).reshape(2, 4)
+
+    def body(v):
+        # owner: the y-shard whose index equals 1
+        owned = jax.lax.axis_index("y") == 1
+        return coll.bcast_from_owner(v, owned, "y")
+
+    f = shard_map(mesh, body, P("x", "y"), P("x", None))
+    out = np.asarray(f(x))
+    np.testing.assert_allclose(out[:, 0], np.asarray(x[:, 1]))
+
+
+def test_pmax_and_psum_grid(mesh):
+    x = jnp.arange(8.0).reshape(2, 4)
+
+    f = shard_map(mesh, lambda v: coll.pmax(v, "y"), P("x", "y"), P("x", None))
+    np.testing.assert_allclose(np.asarray(f(x))[:, 0], np.asarray(x.max(1)))
+
+    g = shard_map(mesh, lambda v: coll.psum_grid(v), P("x", "y"), P(None, None))
+    np.testing.assert_allclose(np.asarray(g(x))[0, 0], float(x.sum()))
+
+
+def test_datacast_block(mesh):
+    # vector block-sharded over x (2 shards) -> block-sharded over y (4)
+    n = 16
+    full = np.arange(n, dtype=np.float64) * 3.0
+
+    def body(v):
+        return coll.datacast_block(v, "x", "y", n // 4)
+
+    f = shard_map(mesh, body, P(("x",)), P(("y",)))
+    out = np.asarray(f(jnp.asarray(full)))
+    np.testing.assert_allclose(out, full)
