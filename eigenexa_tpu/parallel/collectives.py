@@ -186,6 +186,53 @@ def grouped_psum_mask(v, axis: str, group_id):
     return out.reshape(v.shape)
 
 
+def grouped_allreduce(v, gsz: int, px: int, py: int):
+    """Allreduce-sum within contiguous groups of `gsz` flat ranks over the
+    flattened ('x','y') grid (flat rank = ix·py + iy).
+
+    The FS merge tree's group-scoped reduce (reference:
+    MPI_Group_Allreduce, src/MPI_Allreduce_group.F90:644,673 — recursive
+    halving over a rank list, used by FS_REDUCE_ZD.F90:98 and
+    FS_PDLAED3.F90:367-411 to avoid per-node communicators).  Here the
+    power-of-2 case runs the same recursive-doubling butterfly as XOR
+    ppermute steps (each step is one ICI permute along a single mesh
+    axis), giving the deterministic fixed-order reduction of
+    ALLREDUCE_hand.f90:29 for free; non-power-of-2 groups fall back to
+    the masked one-hot formulation (:func:`grouped_psum_mask`).
+
+    Requires gsz | px·py and group members contiguous in flat order
+    (py | gsz or gsz | py) — exactly the FS tree's group structure.
+    """
+    p = px * py
+    if gsz <= 1:
+        return v
+    if gsz & (gsz - 1) or py & (py - 1) or px & (px - 1):
+        flat = lax.axis_index("x") * py + lax.axis_index("y")
+        # one psum over the whole grid per group via masking
+        gid = flat // gsz
+        return _grouped_psum_mask_flat(v, gid, p, py)
+    step = 1
+    while step < gsz:
+        if step < py:
+            perm = [(i, i ^ step) for i in range(py)]
+            v = v + lax.ppermute(v, "y", perm)
+        else:
+            xstep = step // py
+            perm = [(i, i ^ xstep) for i in range(px)]
+            v = v + lax.ppermute(v, "x", perm)
+        step *= 2
+    return v
+
+
+def _grouped_psum_mask_flat(v, group_id, p: int, py: int):
+    """grouped_psum_mask over the flattened 2D grid (general group sizes)."""
+    flat = lax.axis_index("x") * py + lax.axis_index("y")
+    onehot = (jnp.arange(p) == group_id).astype(v.dtype)
+    contrib = onehot[:, None] * v.reshape(1, -1)
+    sums = lax.psum(contrib, ("x", "y"))
+    return sums[group_id].reshape(v.shape)
+
+
 # ---------------------------------------------------------------------------
 # timing/telemetry shim
 # ---------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Distributed D&C merge tree (solvers/dc_dist.py).
+
+The reference-equivalent coverage: FS tree correctness across grid shapes
+(FS_dividing/FS_PDLAED1), group-scoped z/d reduction (FS_REDUCE_ZD),
+non-power-of-2 fallback (FS non-member ranks, FS_libs.F90:183-208), and
+the bitwise per-mesh reproducibility contract (benchmark_h double-run).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from eigenexa_tpu.parallel.mesh import build_mesh
+from eigenexa_tpu.solvers.dc_dist import solve_tridiag_dist
+
+
+def _rand_tridiag(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.standard_normal(n)),
+            jnp.asarray(rng.standard_normal(n - 1)))
+
+
+def _check(d, e, w, s, n):
+    t = (np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1)
+         + np.diag(np.asarray(e), -1))
+    s = np.asarray(s)[:n, :n]
+    w = np.asarray(w)
+    eps = np.finfo(np.float64).eps
+    resid = np.linalg.norm(t @ s - s * w[None, :]) / (
+        n * eps * max(np.linalg.norm(t), 1e-300))
+    ortho = np.linalg.norm(s.T @ s - np.eye(n)) / (n * eps)
+    return resid, ortho
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8), (2, 2), (1, 4)])
+def test_dist_tree_matches_scipy(shape):
+    n = 200
+    d, e = _rand_tridiag(n)
+    mesh = build_mesh(devices=jax.devices()[: shape[0] * shape[1]],
+                      shape=shape)
+    w, s = jax.jit(
+        lambda d, e: solve_tridiag_dist(d, e, mesh, 256, jnp.float64)
+    )(d, e)
+    w_ref = scipy.linalg.eigh_tridiagonal(
+        np.asarray(d), np.asarray(e), eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-12)
+    resid, ortho = _check(d, e, w, s, n)
+    assert resid < 768 and ortho < 8, (shape, resid, ortho)
+
+
+def test_dist_tree_f32_vectors():
+    # mixed precision: f32 eigenvector cascade, f64 secular work
+    n = 160
+    d, e = _rand_tridiag(n, seed=3)
+    mesh = build_mesh(devices=jax.devices()[:4], shape=(2, 2))
+    w, s = jax.jit(
+        lambda d, e: solve_tridiag_dist(d, e, mesh, 160, jnp.float32)
+    )(d, e)
+    assert s.dtype == jnp.float32
+    w_ref = scipy.linalg.eigh_tridiagonal(
+        np.asarray(d), np.asarray(e), eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-12)
+    s = np.asarray(s, np.float64)[:n, :n]
+    eps = np.finfo(np.float32).eps
+    ortho = np.linalg.norm(s.T @ s - np.eye(n)) / (n * eps)
+    assert ortho < 8, ortho
+
+
+def test_nonpow2_mesh_falls_back():
+    # 3 devices: FS non-member analogue — replicated tree, same answers
+    n = 96
+    d, e = _rand_tridiag(n, seed=5)
+    mesh = build_mesh(devices=jax.devices()[:3], shape=(1, 3))
+    w, s = jax.jit(
+        lambda d, e: solve_tridiag_dist(d, e, mesh, 96, jnp.float64)
+    )(d, e)
+    resid, ortho = _check(d, e, w, s, n)
+    assert resid < 768 and ortho < 8
+
+
+@pytest.mark.slow
+def test_dist_tree_n2048_bitwise_three_meshes():
+    """VERDICT r2 item 2 acceptance: D&C-only at n>=2048 across >=3 mesh
+    shapes, bitwise-deterministic per mesh (reference double-run contract,
+    benchmark_h/bench_eigen_h.f)."""
+    n = 2048
+    d, e = _rand_tridiag(n, seed=1)
+    w_ref = scipy.linalg.eigh_tridiagonal(
+        np.asarray(d), np.asarray(e), eigvals_only=True)
+    for shape in [(2, 4), (4, 2), (1, 8)]:
+        mesh = build_mesh(devices=jax.devices()[:8], shape=shape)
+        f = jax.jit(
+            lambda d, e: solve_tridiag_dist(d, e, mesh, n, jnp.float64)
+        )
+        w1, s1 = f(d, e)
+        w2, s2 = f(d, e)
+        assert bool(jnp.array_equal(w1, w2))
+        assert bool(jnp.array_equal(s1, s2))
+        np.testing.assert_allclose(np.asarray(w1), w_ref, atol=1e-11)
+        resid, ortho = _check(d, e, w1, s1, n)
+        assert resid < 768 and ortho < 8, (shape, resid, ortho)
