@@ -168,6 +168,105 @@ def distributed_eigen_s(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nvec", "mode", "nb_f", "nb_b", "mesh"),
+    donate_argnums=(0,),
+)
+def _dist_solve_sx(a, nvec: int, mode: str, nb_f: int, nb_b: int,
+                   mesh: Mesh):
+    from eigenexa_tpu.solvers.solver import _solve_core
+
+    a = jax.lax.with_sharding_constraint(a, matrix_sharding(mesh))
+    w, z = _solve_core(a, nvec, mode, nb_f, nb_b, band=2)
+    if z is not None:
+        z = jax.lax.with_sharding_constraint(z, matrix_sharding(mesh))
+    return w, z
+
+
+def distributed_eigen_sx(
+    a: jnp.ndarray,
+    mesh: Mesh,
+    nvec: Optional[int] = None,
+    mode: str = "A",
+    config: Optional[SolverConfig] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """eigen_sx (pentadiagonal path) over a mesh.
+
+    INTERIM distribution level: the band-2 reduction and banded D&C are
+    one traced program partitioned by GSPMD under sharding constraints
+    (the O(n³) GEMM work shards; the sequential pair recurrence
+    replicates).  The shard_map PRD with explicit pair-reflector
+    collectives — the twin of trd_dist.trd_panel_shard for MBAND=2
+    (reference: src/eigen_prd_t2.F:90 PDSYMV2 + datacast_dbl2,
+    src/comm.F:1569) — is the known follow-up; eigen_s is the flagship
+    distributed path.
+    """
+    cfg = config or SolverConfig()
+    _check_dtype_supported(a.dtype)
+    n = a.shape[0]
+    nvec = n if nvec is None else min(nvec, n)
+    a = shard_matrix(a, mesh)
+    return _dist_solve_sx(a, nvec, mode.upper(), cfg.panel_forward,
+                          cfg.panel_backward, mesh)
+
+
+def distributed_eigen_h(
+    a: jnp.ndarray,
+    mesh: Mesh,
+    nvec: Optional[int] = None,
+    mode: str = "A",
+    config: Optional[SolverConfig] = None,
+):
+    """Hermitian eigensolver over a mesh (reference: src/eigen_h.F:28 on
+    the same 2D grid; complex comm twins src/comm_h.F).
+
+    On complex-capable backends this runs the REAL distributed pipeline
+    on complex arrays — trd_dist's kernels are dtype-generic (conjugates
+    throughout), the D&C tree operates on the real tridiagonal, and the
+    complex WY back-transform reduces VᴴZ along 'x' exactly like the
+    real path (the reference's hrbakwy datacast, src/hrbakwy4.F:556).
+    On complex-less backends (axon TPU) it solves the 2n×2n real
+    symmetric embedding distributed and extracts the complex pairs
+    (ops/zreal.py), like the single-chip eigen_h_realpair.
+    """
+    from eigenexa_tpu.solvers.hermitian import backend_supports_complex
+
+    cfg = config or SolverConfig()
+    n = a.shape[0]
+    nvec = n if nvec is None else min(nvec, n)
+    if backend_supports_complex():
+        if not jnp.iscomplexobj(a):
+            a = a.astype(jnp.complex128 if a.dtype == jnp.float64
+                         else jnp.complex64)
+        px, py = mesh_shape(mesh)
+        big_n = padded_size(n, px, py, cfg.panel_forward)
+        a_pad = jnp.zeros((big_n, big_n), a.dtype).at[:n, :n].set(a)
+        a_pad = shard_matrix(a_pad, mesh)
+        return _dist_solve(a_pad, n, nvec, mode.upper(), cfg.panel_forward,
+                           cfg.panel_backward, mesh)
+    # real-pair embedding path (complex-less backend)
+    from eigenexa_tpu.ops.zreal import ComplexPair, embed_hermitian, \
+        newton_schulz_unitarize
+
+    if isinstance(a, (ComplexPair, tuple)):
+        a_re, a_im = a[0], a[1]
+    else:
+        import numpy as np
+
+        ah = np.asarray(a)
+        a_re = jnp.asarray(np.ascontiguousarray(ah.real))
+        a_im = jnp.asarray(np.ascontiguousarray(ah.imag))
+    m = embed_hermitian(a_re, a_im)
+    w2, v2 = distributed_eigen_s(m, mesh, nvec=2 * nvec, mode=mode,
+                                 config=cfg)
+    w = 0.5 * (w2[0::2] + w2[1::2])
+    zr = v2[:n, 0::2]
+    zi = v2[n:, 0::2]
+    zr, zi, _ = newton_schulz_unitarize(zr, zi, iters=2)
+    return w, ComplexPair(zr, zi)
+
+
 def training_step(mesh: Mesh, n: int = 32, dtype=jnp.float32):
     """One full solver step over the mesh — the framework's analogue of a
     'training step' for compile-validation: generate a Frank matrix, run
