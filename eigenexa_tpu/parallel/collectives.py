@@ -238,21 +238,96 @@ def _grouped_psum_mask_flat(v, group_id, p: int, py: int):
 # ---------------------------------------------------------------------------
 
 class CommStats:
-    """Host-side accumulator mirroring the reference's COMM_STAT tables
-    (reference: src/eigen_devel.F:98-117).  Under jit the device timeline is
-    owned by XLA; per-category comm time is attributed from profiler traces
-    instead, so this records call counts/bytes only."""
+    """Per-category collective accounting, mirroring the reference's
+    COMM_STAT tables (time/count/bytes per bcast/reduce/redist/gather
+    category, reference: src/eigen_devel.F:98-117 with accumulation at
+    every comm.F call site).
+
+    Under jit the device timeline is owned by XLA, so per-call timing is
+    not observable from the host.  Instead the distributed drivers fill
+    these tables from the *known communication pattern* of each stage
+    (trd_dist.comm_model / dc_dist.comm_model — every collective in the
+    algorithm, multiplied by its loop trip count), and :meth:`seconds`
+    converts them to attributed time using the init-time calibration of
+    collective overheads — the same two-piece (latency + per-byte) model
+    the reference fits by timed sampling in eigen_init
+    (src/eigen_libs0.F:774-849, Barrier/Reduce/Bcast_Overhead_{x,y}).
+    """
 
     def __init__(self):
         self.counts = {}
         self.bytes = {}
 
-    def record(self, category: str, nbytes: int):
-        self.counts[category] = self.counts.get(category, 0) + 1
+    def record(self, category: str, nbytes: int, count: int = 1):
+        self.counts[category] = self.counts.get(category, 0) + count
         self.bytes[category] = self.bytes.get(category, 0) + nbytes
+
+    def merge(self, other: "CommStats") -> "CommStats":
+        for k in other.counts:
+            self.record(k, other.bytes.get(k, 0), other.counts[k])
+        return self
+
+    def total_bytes(self) -> int:
+        return sum(self.bytes.values())
+
+    def total_count(self) -> int:
+        return sum(self.counts.values())
+
+    def seconds(self, latency_s: float, per_byte_s: float) -> float:
+        """Model-attributed collective time (a(3,1) analogue,
+        src/eigen_s.F:284-295)."""
+        return (self.total_count() * latency_s
+                + self.total_bytes() * per_byte_s)
 
     def report(self):
         return {
             k: {"count": self.counts[k], "bytes": self.bytes[k]}
             for k in sorted(self.counts)
         }
+
+
+def calibrate_overheads(mesh) -> tuple:
+    """Measure (latency_s, per_byte_s) of a mesh collective by timed
+    sampling — the eigen_init-time calibration the reference feeds its
+    overlap auto-tuner from (src/eigen_libs0.F:774-849).
+
+    Times a tiny psum (≈ pure latency) and a 1 MiB all_gather (≈ pure
+    bandwidth) over the full grid, best-of-3 each.
+    """
+    import time as _time
+
+    import numpy as _np
+    from jax.sharding import PartitionSpec as _P
+
+    if mesh is None or mesh.size <= 1:
+        return 0.0, 0.0
+
+    small = jnp.ones((8,), jnp.float32)
+    nbig = 1 << 18  # 256k f32 = 1 MiB
+    big = jnp.ones((nbig,), jnp.float32)
+
+    tiny_f = jax.jit(jax.shard_map(
+        lambda v: lax.psum(v, ("x", "y")), mesh=mesh,
+        in_specs=_P(), out_specs=_P(), check_vma=False))
+    gather_f = jax.jit(jax.shard_map(
+        lambda v: lax.all_gather(v, "y", tiled=True), mesh=mesh,
+        in_specs=_P(("y",)), out_specs=_P(), check_vma=False))
+
+    jax.block_until_ready(tiny_f(small))
+    jax.block_until_ready(gather_f(big))
+    t_lat = min(
+        _timed(lambda: jax.block_until_ready(tiny_f(small)), _time)
+        for _ in range(3)
+    )
+    t_bw = min(
+        _timed(lambda: jax.block_until_ready(gather_f(big)), _time)
+        for _ in range(3)
+    )
+    per_byte = max(t_bw - t_lat, 0.0) / (nbig * 4)
+    return float(t_lat), float(per_byte)
+
+
+def _timed(fn, _time):
+    t0 = _time.perf_counter()
+    fn()
+    return _time.perf_counter() - t0

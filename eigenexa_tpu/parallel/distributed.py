@@ -142,30 +142,97 @@ def _dist_solve(a_pad, n: int, nvec: int, mode: str, nb_f: int, nb_b: int,
     raise ValueError(f"unknown mode {mode!r}")
 
 
+_OVERHEAD_CACHE: dict = {}
+
+
+def _mesh_overheads(mesh: Mesh):
+    """Cached init-time collective calibration for this mesh — the
+    eigen_init-time timed sampling of the reference
+    (src/eigen_libs0.F:774-849)."""
+    from eigenexa_tpu.parallel.collectives import calibrate_overheads
+
+    key = (tuple(mesh_shape(mesh)), tuple(d.id for d in
+                                          mesh.devices.flat))
+    if key not in _OVERHEAD_CACHE:
+        _OVERHEAD_CACHE[key] = calibrate_overheads(mesh)
+    return _OVERHEAD_CACHE[key]
+
+
+def _dist_comm_stats(n: int, nvec: int, mode: str, cfg: SolverConfig,
+                     mesh: Mesh, dtype):
+    """Assemble the COMM_STAT table for one distributed eigen_s solve from
+    the stage communication models."""
+    from eigenexa_tpu.parallel.collectives import CommStats
+    from eigenexa_tpu.parallel.trd_dist import (comm_model_trbak,
+                                                comm_model_trd)
+    from eigenexa_tpu.solvers.dc_dist import comm_model_dc, _tree_sizes, \
+        _is_pow2
+
+    px, py = mesh_shape(mesh)
+    big_n = padded_size(n, px, py, cfg.panel_forward)
+    item = jnp.dtype(dtype).itemsize
+    st = CommStats()
+    st.merge(comm_model_trd(big_n, cfg.panel_forward, px, py, item))
+    if mode in ("A", "X", "S"):
+        p = px * py
+        leaf = 32 if jax.default_backend() == "cpu" else 2
+        n_pad = _tree_sizes(n, p, leaf)[0] if _is_pow2(p) else n
+        wdt_item = 8 if jax.config.jax_enable_x64 else 4
+        st.merge(comm_model_dc(n_pad, p, wdt_item, item))
+        st.merge(comm_model_trbak(big_n, big_n // py,
+                                  cfg.panel_backward, item))
+    return st
+
+
 def distributed_eigen_s(
     a: jnp.ndarray,
     mesh: Mesh,
     nvec: Optional[int] = None,
     mode: str = "A",
     config: Optional[SolverConfig] = None,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """eigen_s over a 2D device mesh.  Returns (w replicated, Z sharded).
+    with_info: bool = False,
+):
+    """eigen_s over a 2D device mesh.  Returns (w replicated, Z sharded),
+    plus a SolveInfo when with_info=True (elapsed, model flops, COMM_STAT
+    table and calibrated comm_time — the a(1,1)/a(2,1)/a(3,1) telemetry
+    contract, src/eigen_s.F:284-295).
 
     The multi-device twin of solvers.solver.eigen_s (reference:
     src/eigen_s.F:30 on the 2D process grid of src/eigen_libs0.F:477).
     """
+    import time
+
     cfg = config or SolverConfig()
     _check_dtype_supported(a.dtype)
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
     px, py = mesh_shape(mesh)
     big_n = padded_size(n, px, py, cfg.panel_forward)
+    if with_info:
+        _mesh_overheads(mesh)  # calibrate outside the timed region
+    t0 = time.perf_counter()
     a_pad = jnp.zeros((big_n, big_n), a.dtype).at[:n, :n].set(a)
     a_pad = shard_matrix(a_pad, mesh)
-    return _dist_solve(
+    w, z = _dist_solve(
         a_pad, n, nvec, mode.upper(), cfg.panel_forward,
         cfg.panel_backward, mesh
     )
+    if not with_info:
+        return w, z
+    from eigenexa_tpu.solvers.solver import SolveInfo, flop_model
+
+    jax.block_until_ready(z if z is not None else w)
+    elapsed = time.perf_counter() - t0
+    stats = _dist_comm_stats(n, nvec, mode.upper(), cfg, mesh, a.dtype)
+    lat, per_byte = _mesh_overheads(mesh)
+    info = SolveInfo(
+        flops=flop_model(n, nvec, mode.upper() in ("A", "X", "S")),
+        elapsed=elapsed,
+        comm_time=stats.seconds(lat, per_byte),
+        n=n, nvec=nvec, mode=mode.upper(),
+        comm_stats=stats,
+    )
+    return w, z, info
 
 
 @functools.partial(
@@ -265,6 +332,59 @@ def distributed_eigen_h(
     zi = v2[n:, 0::2]
     zr, zi, _ = newton_schulz_unitarize(zr, zi, iters=2)
     return w, ComplexPair(zr, zi)
+
+
+def independent_solves(
+    a_batch: jnp.ndarray,
+    mesh: Mesh,
+    nvec: Optional[int] = None,
+    mode: str = "A",
+    config: Optional[SolverConfig] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Solve a batch of independent eigenproblems, one-per-device-group —
+    the data-parallel mode of the reference benchmark (`-g A`: every rank
+    runs its own solve on MPI_COMM_SELF; `-g <k>`: k-way communicator
+    split, benchmark/main2.f:163-174).
+
+    a_batch: (k, n, n) with k divisible by the mesh size (or k ≤ size).
+    Each problem runs the full single-chip fused solve on its shard; the
+    batch axis is sharded over the flattened mesh and there is zero
+    cross-problem communication.
+    """
+    from eigenexa_tpu.solvers.solver import _solve_core
+
+    cfg = config or SolverConfig()
+    _check_dtype_supported(a_batch.dtype)
+    k, n = a_batch.shape[0], a_batch.shape[1]
+    nvec = n if nvec is None else min(nvec, n)
+    p = mesh.size
+    if k % p != 0:
+        pad = _round_up(k, p) - k
+        a_batch = jnp.concatenate(
+            [a_batch, jnp.broadcast_to(jnp.eye(n, dtype=a_batch.dtype),
+                                       (pad, n, n))], axis=0)
+
+    vals_only = mode.upper() == "N"
+
+    def body(batch_loc):
+        out = jax.vmap(
+            lambda a: _solve_core(a, nvec, mode.upper(), cfg.panel_forward,
+                                  cfg.panel_backward)
+        )(batch_loc)
+        return out[0] if vals_only else out
+
+    out_specs = (P(("x", "y"), None) if vals_only
+                 else (P(("x", "y"), None), P(("x", "y"), None, None)))
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=P(("x", "y"), None, None),
+        out_specs=out_specs,
+        check_vma=False,
+    ))(a_batch)
+    if vals_only:
+        return out[:k], None
+    w, z = out
+    return w[:k], z[:k]
 
 
 def training_step(mesh: Mesh, n: int = 32, dtype=jnp.float32):

@@ -188,6 +188,43 @@ def trd_panel_shard(a_loc, nb: int):
     return d, e_all, tau_all, v_loc
 
 
+def comm_model_trd(n_pad: int, nb: int, px: int, py: int,
+                   itemsize: int):
+    """CommStats for one trd_panel_shard run — every collective in the
+    panel recurrence × its trip count (the COMM_STAT accounting the
+    reference accumulates at each comm.F call site,
+    src/eigen_devel.F:98-117)."""
+    from eigenexa_tpu.parallel.collectives import CommStats
+
+    st = CommStats()
+    m_x = n_pad // px
+    m_y = n_pad // py
+    cols = n_pad
+    panels = n_pad // nb
+    # per column: col bcast (y), uw-row bcast (x), 3 scalar reduces,
+    # v datacast, q reduce (y), cuv reduce (x), vq reduce (x)
+    st.record("bcast", cols * (m_x + 2 * nb) * itemsize, 2 * cols)
+    st.record("reduce", cols * (3 + m_x + 2 * nb + 1) * itemsize, 4 * cols)
+    st.record("redist", cols * n_pad * itemsize, cols)
+    # per panel: U/W panel datacasts
+    st.record("redist", panels * 2 * n_pad * nb * itemsize, 2 * panels)
+    # final diagonal assembly
+    st.record("reduce", n_pad * itemsize, 1)
+    return st
+
+
+def comm_model_trbak(n_pad: int, nvec_loc: int, nb: int, itemsize: int):
+    """CommStats for one trbak_shard run (the reduce_dbl traffic of
+    src/trbakwy4_body.F:235,287)."""
+    from eigenexa_tpu.parallel.collectives import CommStats
+
+    st = CommStats()
+    blocks = max((n_pad - 1 + nb - 1) // nb, 0)
+    st.record("reduce", blocks * (nb * nb + nb * nvec_loc) * itemsize,
+              2 * blocks)
+    return st
+
+
 def trbak_shard(z_loc, v_loc, tau, nb: int):
     """shard_map body: WY back-transform Z ← Q·Z on the mesh.
 

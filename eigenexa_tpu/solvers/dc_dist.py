@@ -168,6 +168,26 @@ def _dc_tree_shard(d_mod, e_pad, *, leaf: int, leaf_kind: str, n_iter: int,
     return w, q_loc
 
 
+def comm_model_dc(n_pad: int, p: int, wdt_itemsize: int,
+                  vec_itemsize: int):
+    """CommStats for one distributed-tree run: phase-2 group butterflies
+    (z, d, two boundary rows — FS_REDUCE_ZD traffic) plus the final
+    embed/reshard all-to-all (dc_redist analogue)."""
+    from eigenexa_tpu.parallel.collectives import CommStats
+
+    st = CommStats()
+    if p > 1 and _is_pow2(p):
+        rloc = 0
+        levels2 = int(np.log2(p))
+        for t in range(levels2):
+            gsz = 1 << (t + 1)
+            width = (n_pad // p) * (1 << (t + 1))
+            steps = int(np.log2(gsz))
+            st.record("reduce", 4 * width * wdt_itemsize * steps, 4 * steps)
+    st.record("redist", n_pad * n_pad * vec_itemsize, 1)
+    return st
+
+
 def _prepare_tree(d, e, n_pad: int, leaf: int, wdt):
     """Padding + Cuppen cut modification, shared convention with
     dc_tree._solve_tridiag_fused (scale-relative pad ramp, |e| subtracted

@@ -30,13 +30,24 @@ def eigen_gev(
     a: jnp.ndarray,
     b: jnp.ndarray,
     nvec: Optional[int] = None,
+    mode: str = "A",
     ctx: Optional[EigenContext] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, SolveInfo]:
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], SolveInfo]:
     """Solve A·x = λ·B·x for symmetric A and s.p.d. B.
 
-    Returns (w ascending, Z (n×nvec) B-orthonormal, SolveInfo).
+    Returns (w ascending, Z (n×nvec) B-orthonormal or None, SolveInfo).
+    mode='N' returns eigenvalues only, skipping the Z'-eigenvector solve
+    and the F·Z' back-multiply (an extension over the reference, whose
+    KMATH_EIGEN_GEV always computes eigenpairs; the benchmark runner's
+    mode column is honored through this).  Other stage-isolation modes
+    are not meaningful for the composed algorithm and raise.
     """
     ctx = ctx or default_context()
+    mode = mode.upper()
+    if mode not in ("A", "N"):
+        raise ValueError(
+            f"eigen_gev supports modes 'A' and 'N'; got {mode!r} "
+            "(the reference KMATH_EIGEN_GEV.F computes eigenpairs only)")
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
@@ -55,17 +66,22 @@ def eigen_gev(
 
         a2 = f.T @ a @ f
         a2 = 0.5 * (a2 + a2.T)  # re-symmetrize (fp congruence)
-        w, z2, info_a = eigen_s(a2, nvec=nvec, mode="A", ctx=ctx)
-        z = f @ z2
+        if mode == "N":
+            w, z, info_a = eigen_s(a2, mode="N", ctx=ctx)[0], None, None
+            flops_a = 0.0
+        else:
+            w, z2, info_a = eigen_s(a2, nvec=nvec, mode="A", ctx=ctx)
+            z = f @ z2
+            flops_a = info_a.flops
     from eigenexa_tpu.utils.sync import device_sync
 
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
-        flops=info_b.flops + info_a.flops + 3 * 2.0 * n**3,
+        flops=info_b.flops + flops_a + 3 * 2.0 * n**3,
         elapsed=elapsed,
         n=n,
         nvec=nvec,
-        mode="A",
+        mode=mode,
     )
     return w, z, info

@@ -65,7 +65,16 @@ def _solve_stage_r(stage_data, nvec, band: int, vec_dtype):
 @dataclasses.dataclass
 class SolveInfo:
     """Telemetry contract (a(1,1)/a(2,1)/a(3,1) analogue,
-    src/eigen_s.F:284-295)."""
+    src/eigen_s.F:284-295).
+
+    `stages` carries the per-stage seconds/GFLOPS breakdown the reference
+    prints as TRD-BLK / D&C / TRDBAK lines (src/eigen_s.F:180-276) —
+    filled when the solve runs with profile=True (the staged path; the
+    default fused single-program path reports whole-solve numbers only,
+    because XLA owns the intra-program timeline).  `comm_stats` is the
+    COMM_STAT table (src/eigen_devel.F:98-117) filled by the distributed
+    drivers; `comm_time` is its calibrated model-attributed time.
+    """
 
     flops: float = 0.0       # model flops: 4/3·n³ (TRD) + dc + 2·nvec·n²
     elapsed: float = 0.0     # wall seconds for the whole solve
@@ -73,10 +82,25 @@ class SolveInfo:
     n: int = 0
     nvec: int = 0
     mode: str = "A"
+    stages: dict = dataclasses.field(default_factory=dict)
+    comm_stats: Optional[object] = None
 
     @property
     def gflops(self) -> float:
         return self.flops / self.elapsed / 1e9 if self.elapsed > 0 else 0.0
+
+    def stage_report(self, printer=print):
+        """Print the per-stage block (TRD-BLK/D&C/TRDBAK/Total lines,
+        reference: src/eigen_s.F:180-276)."""
+        for name, row in self.stages.items():
+            g = row["flops"] / row["seconds"] / 1e9 if row["seconds"] > 0 \
+                else 0.0
+            printer(f"  {name:8s} {row['seconds']:10.4f} s "
+                    f"{g:10.2f} GFLOPS")
+        printer(f"  {'Total':8s} {self.elapsed:10.4f} s "
+                f"{self.gflops:10.2f} GFLOPS"
+                + (f"   comm {self.comm_time:.4f} s"
+                   if self.comm_time else ""))
 
 
 def dc_flop_model(n: int, leaf: int = 2) -> float:
@@ -215,6 +239,85 @@ def _solve_core_band2(a_s, sigma, nvec: int, mode: str, nb_f: int,
     raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
 
+def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
+                  band: int, stages: dict):
+    """Per-stage-timed solve body: same math as _solve_core, but each
+    stage dispatches separately with a device sync so `stages` gets the
+    TRD-BLK / D&C / TRDBAK wall-time split (reference: the per-stage
+    timer+GFLOPS lines of src/eigen_s.F:180-276 and eigen_sx.F).  Slower
+    than the fused path (per-stage dispatch + no cross-stage fusion) —
+    profiling opt-in only.
+    """
+    from eigenexa_tpu.utils.sync import device_sync
+
+    n = a.shape[0]
+
+    def _mark(name, t0, flops, *sync_on):
+        device_sync(*[s for s in sync_on if s is not None])
+        stages[name] = {"seconds": time.perf_counter() - t0, "flops": flops}
+
+    t0 = time.perf_counter()
+    a_s, sigma = jax.jit(matrix_scaling)(a)
+    if band == 2:
+        from eigenexa_tpu.ops.band import band2_reduce
+
+        red = band2_reduce(a_s, nb=nb_f)
+        d, e_pair = red.d, (red.e1, red.e2)
+    else:
+        red = tridiagonalize(a_s, nb=nb_f)
+        d, e_pair = red.d, (red.e,)
+    _mark("TRD-BLK" if band == 1 else "PRD-BLK", t0,
+          4.0 / 3.0 * n ** 3, d)
+
+    if mode == "N":
+        t0 = time.perf_counter()
+        if band == 2:
+            from eigenexa_tpu.ops.sturm import eigvals_bisect_band2
+
+            w = eigvals_bisect_band2(d, *e_pair) / sigma
+        else:
+            from eigenexa_tpu.ops.sturm import eigvals_bisect
+
+            w = eigvals_bisect(d, *e_pair) / sigma
+        _mark("BISECT", t0, 0.0, w)
+        return w, None
+    if mode not in ("A", "X", "T", "S", "C"):
+        raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
+
+    if mode in ("A", "X", "T"):
+        t0 = time.perf_counter()
+        if band == 2:
+            from eigenexa_tpu.solvers.dc_band import solve_band2_dc
+
+            w, s = solve_band2_dc(d, *e_pair, vec_dtype=a.dtype)
+        else:
+            w, s = dc.solve_tridiag(d, *e_pair, vec_dtype=a.dtype)
+        if mode == "X":
+            if band == 2:
+                from eigenexa_tpu.ops.sturm import refine_eigenvalues_band2
+
+                w = refine_eigenvalues_band2(d, *e_pair, w)
+            else:
+                from eigenexa_tpu.ops.sturm import refine_eigenvalues
+
+                w = refine_eigenvalues(d, *e_pair, w)
+        w = w / sigma
+        _mark("D&C", t0, dc_flop_model(n), w, s)
+        if mode == "T":
+            return w, s[:, :nvec]
+        z0 = s[:, :nvec]
+    else:
+        w = d / sigma
+        z0 = jnp.eye(n, nvec, dtype=a.dtype)
+        if mode == "C":
+            return w, z0
+
+    t0 = time.perf_counter()
+    z = back_transform(z0, red.v, red.tau, nb=nb_b)
+    _mark("TRDBAK", t0, 2.0 * nvec * n ** 2, z)
+    return w, z
+
+
 # the fully-fused solve: scale → TRD → D&C → TRBAK as ONE XLA program.
 # Usable whenever the D&C stage takes its traceable jax impl (CPU, or f32
 # vectors — dc_tree.solve_tridiag_dc's dispatch rule); the TPU-f64 path
@@ -240,6 +343,7 @@ def eigen_s(
     mode: str = "A",
     ctx: Optional[EigenContext] = None,
     stage_data=None,
+    profile: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], SolveInfo]:
     """Standard real-symmetric eigensolver (reference: src/eigen_s.F:30).
 
@@ -247,6 +351,9 @@ def eigen_s(
     Mode 'R' skips reduction and runs D&C on `stage_data` (a directory
     written by utils.stageio.save_stage_data, or a (d, e) tuple); `a` may
     be None then (reference: src/eigen_sx.F:175-193).
+    profile=True runs the per-stage-timed path and fills
+    SolveInfo.stages with the TRD-BLK/D&C/TRDBAK breakdown
+    (reference: src/eigen_s.F:180-276).
     """
     ctx = ctx or default_context()
     mode = mode.upper()
@@ -266,13 +373,18 @@ def eigen_s(
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
+    stages: dict = {}
     # TPU f32 matmuls default to bf16 MXU passes (~1e-2 orthogonality!);
     # the solver's accuracy contract requires true-f32 accumulation.
-    core = (_solve_core_jit if _core_traceable(a, mode, 1)
-            else _solve_core)
     with jax.default_matmul_precision(cfg.matmul_precision):
-        w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
-                    nb_b=cfg.panel_backward)
+        if profile:
+            w, z = _solve_staged(a, nvec, mode, cfg.panel_forward,
+                                 cfg.panel_backward, 1, stages)
+        else:
+            core = (_solve_core_jit if _core_traceable(a, mode, 1)
+                    else _solve_core)
+            w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
+                        nb_b=cfg.panel_backward)
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
@@ -282,6 +394,7 @@ def eigen_s(
         n=n,
         nvec=nvec,
         mode=mode,
+        stages=stages,
     )
     return w, z, info
 
@@ -292,6 +405,7 @@ def eigen_sx(
     mode: str = "A",
     ctx: Optional[EigenContext] = None,
     stage_data=None,
+    profile: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], SolveInfo]:
     """One-stage banded variant (reference: src/eigen_sx.F:30 — dense →
     pentadiagonal via 2-column Householder pairs → banded D&C with two
@@ -318,11 +432,16 @@ def eigen_sx(
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
-    core = (_solve_core_jit if _core_traceable(a, mode, 2)
-            else _solve_core)
+    stages: dict = {}
     with jax.default_matmul_precision(cfg.matmul_precision):
-        w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
-                    nb_b=cfg.panel_backward, band=2)
+        if profile:
+            w, z = _solve_staged(a, nvec, mode, cfg.panel_forward,
+                                 cfg.panel_backward, 2, stages)
+        else:
+            core = (_solve_core_jit if _core_traceable(a, mode, 2)
+                    else _solve_core)
+            w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
+                        nb_b=cfg.panel_backward, band=2)
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
@@ -332,6 +451,7 @@ def eigen_sx(
         n=n,
         nvec=nvec,
         mode=mode,
+        stages=stages,
     )
     return w, z, info
 
