@@ -31,11 +31,17 @@ All functions are dtype-generic (f32/f64/c64/c128) and jit-safe.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# global dispatch override for tridiagonalize(impl="auto") — settable from
+# tests/benchmarks (env EIGENEXA_TRD_IMPL or assignment): "auto" picks
+# windowed on TPU/f32 and rolled elsewhere; "rolled"/"windowed" force.
+TRD_IMPL = os.environ.get("EIGENEXA_TRD_IMPL", "auto")
 
 
 class TridiagResult(NamedTuple):
@@ -189,8 +195,151 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# windowed (no-roll) reduction — the TPU/f32 fast path
+# ---------------------------------------------------------------------------
+
+_WIN_TM = 256  # must match pallas_kernels._SYMV_TM
+
+
+def _panel_win(b, j0, t0: int, nb: int, interpret: bool):
+    """latrd panel recurrence in the fixed-buffer windowed frame: rows
+    keep their global indices, the active window is [t0·256:, t0·256:],
+    and the symv reads only the window's lower triangle
+    (ops/pallas_kernels.symv_lower).  Real f32 only.
+
+    Rows of b above the current panel hold stale (already-processed)
+    data; every vector that could carry those rows into live values is
+    masked (v by the reflector mask, w by `idx >= j0`), which also keeps
+    the stale region from being written — so staleness stays bounded by
+    the original matrix magnitude instead of compounding.
+    """
+    from eigenexa_tpu.ops.pallas_kernels import symv_lower
+
+    n_pad = b.shape[0]
+    dtype = b.dtype
+    idx = jnp.arange(n_pad)
+    init = (
+        jnp.zeros((n_pad, nb), dtype),
+        jnp.zeros((n_pad, nb), dtype),
+        jnp.zeros((nb,), dtype),
+        jnp.zeros((nb,), dtype),
+    )
+
+    def body(jc, carry):
+        u_p, w_p, tau_p, e_p = carry
+        j = j0 + jc
+        col = lax.dynamic_index_in_dim(b, j, axis=1, keepdims=False)
+        w_row = lax.dynamic_index_in_dim(w_p, j, axis=0, keepdims=False)
+        u_row = lax.dynamic_index_in_dim(u_p, j, axis=0, keepdims=False)
+        col = col - u_p @ w_row - w_p @ u_row
+        v, tau, beta = householder_vector(col, idx > j)
+        q = symv_lower(b, v, t0=t0, interpret=interpret)
+        q = q - u_p @ (w_p.T @ v) - w_p @ (u_p.T @ v)
+        w = tau * q - (tau * tau * 0.5) * jnp.dot(v, q) * v
+        w = jnp.where(idx >= j0, w, 0.0)
+        u_p = lax.dynamic_update_index_in_dim(u_p, v, jc, axis=1)
+        w_p = lax.dynamic_update_index_in_dim(w_p, w, jc, axis=1)
+        tau_p = tau_p.at[jc].set(tau)
+        e_p = e_p.at[jc].set(beta)
+        return u_p, w_p, tau_p, e_p
+
+    return lax.fori_loop(0, nb, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"))
+def _tridiagonalize_windowed(a: jnp.ndarray, nb: int, group: int,
+                             interpret: bool) -> TridiagResult:
+    """No-roll reduction: ONE fixed (n_pad, n_pad) working buffer for the
+    whole factorization.  Panels advance down the diagonal in the global
+    frame; a statically-shrinking tile window (one `lax.scan` per window
+    position, ~8 total) bounds the work to the live trailing block, the
+    symv kernel reads only the window's lower triangle, and the rank-2k
+    trailing update aliases its output onto the buffer
+    (rank2k_update_window) — so peak memory is ~(buffer + V) ≈ 2·n²
+    instead of the rolled scheme's 4-5·n² (input + padded copy +
+    scan-stacked panels + V).
+
+    Reference analogue: the in-place trailing storage of eigen_trd.F:349
+    (the reference also factors A in place); the window-shrink plays the
+    role its shrinking cyclic distribution plays.
+    """
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update_window
+
+    n = a.shape[0]
+    dtype = a.dtype
+    tm = _WIN_TM
+    n_pad = _round_up(n, tm)
+    b = (a if n_pad == n
+         else jnp.zeros((n_pad, n_pad), dtype).at[:n, :n].set(a))
+
+    d = jnp.zeros((n_pad,), dtype)
+    e = jnp.zeros((n_pad,), dtype)
+    tau_full = jnp.zeros((n_pad,), dtype)
+    v_big = jnp.zeros((n_pad, n_pad), dtype)
+
+    groups: dict = {}
+    m_act, k = n, 0
+    while m_act > nb:
+        groups.setdefault(k // group, []).append(k)
+        k += nb
+        m_act -= nb
+
+    for g in sorted(groups):
+        t0 = (g * group) // tm
+
+        def body(carry, j0, t0=t0):
+            bc, vb, tf, dc, ec = carry
+            u_p, w_p, tau_p, e_p = _panel_win(bc, j0, t0, nb, interpret)
+            dg = lax.dynamic_slice(bc, (j0, j0), (nb, nb))
+            z32 = jnp.int32(0)  # literals must match j0's int32 under x64
+            ug = lax.dynamic_slice(u_p, (j0, z32), (nb, nb))
+            wg = lax.dynamic_slice(w_p, (j0, z32), (nb, nb))
+            diag = jnp.diagonal(dg) - 2.0 * jnp.sum(ug * wg, axis=1)
+            bc = rank2k_update_window(bc, u_p, w_p, t0=t0,
+                                      interpret=interpret)
+            vb = lax.dynamic_update_slice(vb, u_p, (z32, j0))
+            tf = lax.dynamic_update_slice(tf, tau_p, (j0,))
+            dc = lax.dynamic_update_slice(dc, diag, (j0,))
+            ec = lax.dynamic_update_slice(ec, e_p, (j0,))
+            return (bc, vb, tf, dc, ec), None
+
+        ks = jnp.asarray(groups[g], dtype=jnp.int32)
+        (b, v_big, tau_full, d, e), _ = lax.scan(
+            body, (b, v_big, tau_full, d, e), ks)
+
+    # remainder block (m <= nb): static offset, rolled-style panel
+    m = n - k
+    if m > 1:
+        b_rem = lax.slice(b, (k, k), (n, n))
+        u_p, w_p, tau_p, e_p = tridiag_panel(b_rem, m)
+        diag = _panel_diag(b_rem, u_p, w_p, m)
+        d = d.at[k : k + m].set(diag)
+        e = e.at[k : k + m - 1].set(e_p[: m - 1])
+        v_big = v_big.at[k:n, k : k + m].set(u_p)
+        tau_full = tau_full.at[k : k + m].set(tau_p)
+    elif m == 1:
+        d = d.at[k].set(b[k, k])
+
+    return TridiagResult(d=d[:n], e=e[: max(n - 1, 1)][: n - 1],
+                         v=v_big[:n, :n], tau=tau_full[:n])
+
+
+def _windowed_eligible(a, n: int) -> bool:
+    """The windowed path needs the Pallas kernels (TPU backend, f32,
+    real); below n=512 the rolled fused path compiles faster and the
+    memory/bandwidth savings are noise."""
+    from eigenexa_tpu.ops import pallas_kernels as pk
+
+    if a.dtype != jnp.float32 or n < 512:
+        return False
+    if pk._DISABLED or not pk._HAS_PALLAS:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def tridiagonalize(a: jnp.ndarray, nb: int = 64,
-                   bucket: int = 0) -> TridiagResult:
+                   bucket: int = 0, impl: str = "auto") -> TridiagResult:
     """Reduce symmetric/Hermitian A (n×n) to real tridiagonal T = Qᴴ A Q.
 
     Q = H_0·H_1·…·H_{n-3}; reflector k is stored in column k of the
@@ -210,6 +359,14 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64,
     but an XLA program is per-shape).
     """
     n = a.shape[0]
+    if impl == "auto":
+        impl = TRD_IMPL
+    if impl == "auto":
+        impl = "windowed" if _windowed_eligible(a, n) else "rolled"
+    if impl == "windowed":
+        group = _round_up(max(4 * nb, _round_up(n, _WIN_TM) // 8), _WIN_TM)
+        return _tridiagonalize_windowed(
+            a, nb, group, interpret=jax.default_backend() != "tpu")
     if bucket <= 0:
         bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
     return _tridiagonalize_fused(a, nb, bucket)

@@ -169,6 +169,192 @@ def sub_matmul(b, p, q, interpret: bool = False):
     )
 
 
+# ---------------------------------------------------------------------------
+# symmetric matvec on the lower triangle (TRD panel symv)
+# ---------------------------------------------------------------------------
+
+_SYMV_TM = 256  # symv tile edge (2 MXU tiles; 256 KB/tile in f32)
+
+
+def _symv_decode(r, c, nw):
+    """Packed-triangle grid decode: pair row r with row nw-1-r so a
+    rectangular ((nw+1)//2, nw+1) grid enumerates exactly the lower
+    tiles (i, j<=i).  `dead` marks the duplicate half of a self-paired
+    middle row (odd nw)."""
+    lower = c <= r
+    i = jnp.where(lower, r, nw - 1 - r)
+    j = jnp.where(lower, c, i - (c - r - 1))
+    dead = jnp.logical_and(jnp.logical_not(lower), 2 * r == nw - 1)
+    return i.astype(jnp.int32), j.astype(jnp.int32), dead
+
+
+@functools.partial(jax.jit, static_argnames=("t0", "interpret"))
+def _symv_pallas(b, x, t0: int, interpret: bool = False):
+    """q = B·x reading only lower-triangle tiles of the window
+    [t0·TM:, t0·TM:] of symmetric B — each tile contributes A_ij·x_j to
+    q_i and A_ijᵀ·x_i to q_j, halving the HBM traffic of the
+    bandwidth-bound symv (the flop- and byte-dominant op of the
+    one-stage Householder reduction, reference: the distributed symv of
+    src/eigen_trd_t2.F:161).
+
+    x and q ride in (NT, TM) row-block layout so every VMEM buffer has a
+    full 128-lane last dim (a (m,1) layout would pad 128×).  q rows below
+    the window come back zero.
+    """
+    tm = _SYMV_TM
+    m = b.shape[0]
+    nt = m // tm
+    nw = nt - t0
+    x_rb = x.reshape(nt, tm)
+
+    def kernel(b_ref, xj_ref, xi_ref, q_ref):
+        r = pl.program_id(0)
+        c = pl.program_id(1)
+        i, j, dead = _symv_decode(r, c, nw)
+
+        @pl.when(jnp.logical_and(r == 0, c == 0))
+        def _():
+            q_ref[:] = jnp.zeros_like(q_ref)
+
+        @pl.when(jnp.logical_not(dead))
+        def _():
+            a = b_ref[:]                      # (tm, tm)
+            xj = xj_ref[:]                    # (1, tm)
+            qi = jax.lax.dot_general(         # (A·x_j)ᵀ as a row
+                xj, a, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            q_ref[pl.ds(t0 + i, 1), :] += qi
+
+            @pl.when(j < i)
+            def _():
+                xi = xi_ref[:]
+                qj = jax.lax.dot_general(     # (Aᵀ·x_i)ᵀ as a row
+                    xi, a, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                q_ref[pl.ds(t0 + j, 1), :] += qj
+
+    def bmap(r, c):
+        i, j, dead = _symv_decode(r, c, nw)
+        i = jnp.where(dead, 0, i)
+        j = jnp.where(dead, 0, j)
+        return (t0 + i, t0 + j)
+
+    def xjmap(r, c):
+        i, j, dead = _symv_decode(r, c, nw)
+        j = jnp.where(dead, 0, j)
+        return (t0 + j, jnp.int32(0))
+
+    def ximap(r, c):
+        i, j, dead = _symv_decode(r, c, nw)
+        i = jnp.where(dead, 0, i)
+        return (t0 + i, jnp.int32(0))
+
+    q = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, tm), jnp.float32),
+        grid=((nw + 1) // 2, nw + 1),
+        in_specs=[
+            pl.BlockSpec((tm, tm), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), xjmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), ximap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nt, tm), lambda r, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(b, x_rb, x_rb)
+    return q.reshape(m)
+
+
+def _symv_eligible(b, t0: int) -> bool:
+    m = b.shape[0]
+    if b.dtype != jnp.float32 or b.ndim != 2 or m != b.shape[1]:
+        return False
+    if m % _SYMV_TM != 0 or m // _SYMV_TM - t0 < 1:
+        return False
+    return True
+
+
+def symv_lower(b, x, t0: int = 0, interpret: bool = False):
+    """``B·x`` for symmetric B stored full, reading only the lower
+    triangle of the window ``[t0·256:, t0·256:]`` (Pallas on TPU/f32).
+
+    Fallback is a plain full dot.  Rows of the result below the window
+    are zeros on the kernel path and whatever the full product gives on
+    the fallback path — callers mask them either way (the TRD panel
+    recurrence only consumes rows > current column).
+    """
+    if interpret:
+        if not _HAS_PALLAS or not _symv_eligible(b, t0):
+            return b @ x
+    elif (_DISABLED or not _HAS_PALLAS
+          or jax.default_backend() != "tpu" or not _symv_eligible(b, t0)):
+        return b @ x
+    return _symv_pallas(b, x, t0, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# windowed in-place subtract-matmul (no-roll TRD trailing update)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("t0", "interpret"),
+                   donate_argnums=(0,))
+def _sub_matmul_window_pallas(b, p, q, t0: int, interpret: bool = False):
+    """B[w:, w:] -= P[w:]·Q[w:]ᵀ in place (w = t0·256), aliasing the
+    output onto B so the solver's working matrix is updated without a
+    second n² buffer.  Tiles outside the window keep their (stale)
+    contents — the windowed TRD never reads them as data."""
+    tm = _SYMV_TM
+    m = b.shape[0]
+    k = p.shape[1]
+    nw = m // tm - t0
+
+    return pl.pallas_call(
+        _sub_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, m), b.dtype),
+        grid=(nw, nw),
+        in_specs=[
+            pl.BlockSpec((tm, tm), lambda i, j: (t0 + i, t0 + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (t0 + i, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (t0 + j, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tm), lambda i, j: (t0 + i, t0 + j),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(b, p, q)
+
+
+def rank2k_update_window(b, u, w, t0: int = 0, interpret: bool = False):
+    """In-place windowed twin of :func:`rank2k_update`:
+    ``B[w:, w:] −= U·Wᵀ + W·Uᵀ`` with B's buffer reused for the output
+    (w = t0·256).  Real f32 only (the windowed TRD path); no conj."""
+    p = jnp.concatenate([u, w], axis=1)
+    q = jnp.concatenate([w, u], axis=1)
+    if interpret:
+        if not _HAS_PALLAS or not _symv_eligible(b, t0):
+            return _rank2k_window_jnp(b, p, q, t0)
+    elif (_DISABLED or not _HAS_PALLAS
+          or jax.default_backend() != "tpu" or not _symv_eligible(b, t0)
+          or p.shape[1] > 1024):
+        return _rank2k_window_jnp(b, p, q, t0)
+    k_pad = -(-p.shape[1] // _LANE) * _LANE
+    return _sub_matmul_window_pallas(
+        b, _pad_k(p, k_pad), _pad_k(q, k_pad), t0, interpret=interpret
+    )
+
+
+def _rank2k_window_jnp(b, p, q, t0: int):
+    """jnp fallback: full-buffer subtract (u/w are zero above the active
+    column anyway, so touching the stale border is harmless)."""
+    del t0
+    return b - p @ q.T
+
+
 def rank2k_update(b, u, w, interpret: bool = False):
     """``B − U·conj(W)ᵀ − W·conj(U)ᵀ`` as one fused pass
     (reference: eigen_common_2update, src/eigen_t1.F:68).
