@@ -164,8 +164,145 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# windowed (no-roll) band-2 reduction — the TPU/f32 fast path
+# ---------------------------------------------------------------------------
+
+def _pair_win(b, j0, t0: int, nb: int, interpret: bool):
+    """Band-2 pair recurrence in the fixed-buffer windowed frame (see
+    ops/householder._panel_win for the scheme).  Real f32 only; the
+    two-vector mat-vec runs through the lower-triangle symv kernel
+    (nc=2 — the PDSYMV2 analogue, src/eigen_prd_t2.F:90)."""
+    from eigenexa_tpu.ops.pallas_kernels import symv_lower
+
+    n_pad = b.shape[0]
+    dtype = b.dtype
+    idx = jnp.arange(n_pad)
+    init = (
+        jnp.zeros((n_pad, nb), dtype),
+        jnp.zeros((n_pad, nb), dtype),
+        jnp.zeros((nb,), dtype),
+    )
+    z32 = jnp.int32(0)
+
+    def body(jc, carry):
+        u_p, w_p, tau_p = carry
+        jc = jc.astype(jnp.int32)  # fori index is int64 under x64
+        c0 = j0 + 2 * jc
+        cols = lax.dynamic_slice(b, (z32, c0), (n_pad, 2))
+        # u_p/w_p rows are global in the windowed frame
+        w_rows = lax.dynamic_slice(w_p, (c0, z32), (2, nb))
+        u_rows = lax.dynamic_slice(u_p, (c0, z32), (2, nb))
+        cols = cols - u_p @ w_rows.T - w_p @ u_rows.T
+        v0, tau0, _ = householder_vector(cols[:, 0], idx > c0 + 1)
+        c1 = cols[:, 1] - tau0 * v0 * jnp.dot(v0, cols[:, 1])
+        v1, tau1, _ = householder_vector(c1, idx > c0 + 2)
+        v_pair = jnp.stack([v0, v1], axis=1)
+        t01 = -tau0 * tau1 * jnp.dot(v0, v1)
+        t = jnp.array([[1.0, 0.0], [0.0, 0.0]], dtype) * tau0 \
+            + jnp.array([[0.0, 0.0], [0.0, 1.0]], dtype) * tau1 \
+            + jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype) * t01
+        av = symv_lower(b, v_pair, t0=t0, interpret=interpret)
+        av = av - u_p @ (w_p.T @ v_pair) - w_p @ (u_p.T @ v_pair)
+        p = av @ t
+        s = t.T @ (v_pair.T @ p)
+        w_pair = p - 0.5 * v_pair @ s
+        w_pair = jnp.where((idx >= j0)[:, None], w_pair, 0.0)
+        u_p = lax.dynamic_update_slice(u_p, v_pair, (z32, 2 * jc))
+        w_p = lax.dynamic_update_slice(w_p, w_pair, (z32, 2 * jc))
+        tau_p = lax.dynamic_update_slice(
+            tau_p, jnp.stack([tau0, tau1]), (2 * jc,))
+        return u_p, w_p, tau_p
+
+    return lax.fori_loop(0, nb // 2, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"))
+def _band2_windowed(a: jnp.ndarray, nb: int, group: int,
+                    interpret: bool) -> BandResult:
+    """No-roll PRD: one fixed (n_pad, n_pad) working buffer, lower-triangle
+    windowed symv, in-place rank-2k — the band-2 twin of
+    ops/householder._tridiagonalize_windowed (same memory/traffic
+    argument; reference in-place analogue: eigen_prd.F:341)."""
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update_window
+    from eigenexa_tpu.ops.householder import _WIN_TM as tm
+
+    n = a.shape[0]
+    dtype = a.dtype
+    n_pad = _round_up(n, tm)
+    b = (a if n_pad == n
+         else jnp.zeros((n_pad, n_pad), dtype).at[:n, :n].set(a))
+
+    d = jnp.zeros((n_pad,), dtype)
+    e1 = jnp.zeros((n_pad,), dtype)
+    e2 = jnp.zeros((n_pad,), dtype)
+    tau_full = jnp.zeros((n_pad,), dtype)
+    v_big = jnp.zeros((n_pad, n_pad), dtype)
+
+    groups: dict = {}
+    m_act, k = n, 0
+    while m_act > nb + 2:
+        groups.setdefault(k // group, []).append(k)
+        k += nb
+        m_act -= nb
+
+    z32 = jnp.int32(0)
+    for g in sorted(groups):
+        t0 = (g * group) // tm
+
+        def body(carry, j0, t0=t0):
+            bc, vb, tf, dc, e1c, e2c = carry
+            u_p, w_p, tau_p = _pair_win(bc, j0, t0, nb, interpret)
+            # band extraction from the (nb+2)-sized diagonal block of the
+            # frozen bc plus the panel correction (exact at panel end —
+            # later reflectors start two rows below these entries)
+            dg = lax.dynamic_slice(bc, (j0, j0), (nb + 2, nb + 2))
+
+            def corr(off):
+                u_hi = lax.dynamic_slice(u_p, (j0 + off, z32), (nb, nb))
+                w_hi = lax.dynamic_slice(w_p, (j0 + off, z32), (nb, nb))
+                u_lo = lax.dynamic_slice(u_p, (j0, z32), (nb, nb))
+                w_lo = lax.dynamic_slice(w_p, (j0, z32), (nb, nb))
+                return jnp.sum(u_hi * w_lo + w_hi * u_lo, axis=1)
+
+            d_p = jnp.diagonal(dg)[:nb] - corr(0)
+            e1_p = jnp.diagonal(dg, -1)[:nb] - corr(1)
+            e2_p = jnp.diagonal(dg, -2)[:nb] - corr(2)
+            bc = rank2k_update_window(bc, u_p, w_p, t0=t0,
+                                      interpret=interpret)
+            vb = lax.dynamic_update_slice(vb, u_p, (z32, j0))
+            tf = lax.dynamic_update_slice(tf, tau_p, (j0,))
+            dc = lax.dynamic_update_slice(dc, d_p, (j0,))
+            e1c = lax.dynamic_update_slice(e1c, e1_p, (j0,))
+            e2c = lax.dynamic_update_slice(e2c, e2_p, (j0,))
+            return (bc, vb, tf, dc, e1c, e2c), None
+
+        ks = jnp.asarray(groups[g], dtype=jnp.int32)
+        (b, v_big, tau_full, d, e1, e2), _ = lax.scan(
+            body, (b, v_big, tau_full, d, e1, e2), ks)
+
+    # remainder (m <= nb+2): static offset, rolled-style pair panel
+    m = n - k
+    if m > 0:
+        mp = _round_up(m + 2, 2)
+        bp = jnp.zeros((mp, mp), dtype).at[:m, :m].set(
+            lax.slice(b, (k, k), (n, n))[:m, :m])
+        u_p, w_p, tau_p, d_p, e1_p, e2_p = _band2_remainder(bp, m)
+        d = d.at[k : k + m].set(d_p[:m])
+        if m > 1:
+            e1 = e1.at[k : k + m - 1].set(e1_p[: m - 1])
+        if m > 2:
+            e2 = e2.at[k : k + m - 2].set(e2_p[: m - 2])
+        v_big = v_big.at[k:n, k:n].set(u_p[:m, :m])
+        tau_full = tau_full.at[k : k + m].set(tau_p[:m])
+
+    return BandResult(d=d[:n], e1=e1[: max(n - 1, 1)][: n - 1],
+                      e2=e2[: max(n - 2, 1)][: n - 2],
+                      v=v_big[:n, :n], tau=tau_full[:n])
+
+
 def band2_reduce(a: jnp.ndarray, nb: int = 64,
-                 bucket: int = 0) -> BandResult:
+                 bucket: int = 0, impl: str = "auto") -> BandResult:
     """Reduce symmetric/Hermitian A (n x n) to real pentadiagonal
     P = Q^H A Q (driver analogue: src/eigen_prd.F:80 -> _stub:159 ->
     _body:341).
@@ -174,9 +311,20 @@ def band2_reduce(a: jnp.ndarray, nb: int = 64,
     and like it the whole panel loop is traced into ONE XLA program
     (dispatch latency through a tunneled TPU dominates eager loops).
     """
+    from eigenexa_tpu.ops import householder as hh
+
     n = a.shape[0]
     if nb % 2:
         nb += 1
+    if impl == "auto":
+        impl = hh.TRD_IMPL
+    if impl == "auto":
+        impl = "windowed" if hh._windowed_eligible(a, n) else "rolled"
+    if impl == "windowed":
+        tm = hh._WIN_TM
+        group = _round_up(max(4 * nb, _round_up(n, tm) // 8), tm)
+        return _band2_windowed(
+            a, nb, group, interpret=jax.default_backend() != "tpu")
     if bucket <= 0:
         bucket = max(4 * nb, _round_up(n // 8, nb) if n >= 8 * nb else nb)
     return _band2_reduce_fused(a, nb, bucket)

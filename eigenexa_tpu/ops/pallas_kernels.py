@@ -65,9 +65,13 @@ def set_enabled(flag: bool) -> None:
     householder._tridiag_step.clear_cache()
     householder._remainder_step.clear_cache()
     householder._tridiagonalize_fused.clear_cache()
+    householder._tridiagonalize_windowed.clear_cache()
     band._band2_step.clear_cache()
     band._band2_remainder.clear_cache()
     band._band2_reduce_fused.clear_cache()
+    band._band2_windowed.clear_cache()
+    _symv_pallas.clear_cache()
+    _sub_matmul_window_pallas.clear_cache()
 
 
 def _sub_matmul_kernel(b_ref, p_ref, q_ref, o_ref):
@@ -188,24 +192,23 @@ def _symv_decode(r, c, nw):
     return i.astype(jnp.int32), j.astype(jnp.int32), dead
 
 
-@functools.partial(jax.jit, static_argnames=("t0", "interpret"))
-def _symv_pallas(b, x, t0: int, interpret: bool = False):
-    """q = B·x reading only lower-triangle tiles of the window
+@functools.partial(jax.jit, static_argnames=("t0", "nc", "interpret"))
+def _symv_pallas(b, xt, t0: int, nc: int, interpret: bool = False):
+    """Q = B·X reading only lower-triangle tiles of the window
     [t0·TM:, t0·TM:] of symmetric B — each tile contributes A_ij·x_j to
     q_i and A_ijᵀ·x_i to q_j, halving the HBM traffic of the
     bandwidth-bound symv (the flop- and byte-dominant op of the
     one-stage Householder reduction, reference: the distributed symv of
-    src/eigen_trd_t2.F:161).
+    src/eigen_trd_t2.F:161; the nc=2 case is the PDSYMV2 two-vector
+    pass of src/eigen_prd_t2.F:90).
 
-    x and q ride in (NT, TM) row-block layout so every VMEM buffer has a
-    full 128-lane last dim (a (m,1) layout would pad 128×).  q rows below
-    the window come back zero.
+    xt/q use a transposed (nc, m) layout so VMEM buffers keep a full
+    ≥128-lane last dim (an (m, nc) layout would pad the lane dim 128×).
+    q columns below the window come back zero.
     """
     tm = _SYMV_TM
     m = b.shape[0]
-    nt = m // tm
-    nw = nt - t0
-    x_rb = x.reshape(nt, tm)
+    nw = m // tm - t0
 
     def kernel(b_ref, xj_ref, xi_ref, q_ref):
         r = pl.program_id(0)
@@ -219,21 +222,21 @@ def _symv_pallas(b, x, t0: int, interpret: bool = False):
         @pl.when(jnp.logical_not(dead))
         def _():
             a = b_ref[:]                      # (tm, tm)
-            xj = xj_ref[:]                    # (1, tm)
-            qi = jax.lax.dot_general(         # (A·x_j)ᵀ as a row
+            xj = xj_ref[:]                    # (nc, tm)
+            qi = jax.lax.dot_general(         # (A·x_j)ᵀ rows
                 xj, a, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            q_ref[pl.ds(t0 + i, 1), :] += qi
+            q_ref[:, pl.ds((t0 + i) * tm, tm)] += qi
 
             @pl.when(j < i)
             def _():
                 xi = xi_ref[:]
-                qj = jax.lax.dot_general(     # (Aᵀ·x_i)ᵀ as a row
+                qj = jax.lax.dot_general(     # (Aᵀ·x_i)ᵀ rows
                     xi, a, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-                q_ref[pl.ds(t0 + j, 1), :] += qj
+                q_ref[:, pl.ds((t0 + j) * tm, tm)] += qj
 
     def bmap(r, c):
         i, j, dead = _symv_decode(r, c, nw)
@@ -244,27 +247,26 @@ def _symv_pallas(b, x, t0: int, interpret: bool = False):
     def xjmap(r, c):
         i, j, dead = _symv_decode(r, c, nw)
         j = jnp.where(dead, 0, j)
-        return (t0 + j, jnp.int32(0))
+        return (jnp.int32(0), t0 + j)
 
     def ximap(r, c):
         i, j, dead = _symv_decode(r, c, nw)
         i = jnp.where(dead, 0, i)
-        return (t0 + i, jnp.int32(0))
+        return (jnp.int32(0), t0 + i)
 
-    q = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, tm), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc, m), jnp.float32),
         grid=((nw + 1) // 2, nw + 1),
         in_specs=[
             pl.BlockSpec((tm, tm), bmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm), xjmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm), ximap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tm), xjmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, tm), ximap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nt, tm), lambda r, c: (0, 0),
+        out_specs=pl.BlockSpec((nc, m), lambda r, c: (0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(b, x_rb, x_rb)
-    return q.reshape(m)
+    )(b, xt, xt)
 
 
 def _symv_eligible(b, t0: int) -> bool:
@@ -279,19 +281,26 @@ def _symv_eligible(b, t0: int) -> bool:
 def symv_lower(b, x, t0: int = 0, interpret: bool = False):
     """``B·x`` for symmetric B stored full, reading only the lower
     triangle of the window ``[t0·256:, t0·256:]`` (Pallas on TPU/f32).
+    x may be (m,) or (m, nc) with small nc (the band-2 pair recurrence
+    passes nc=2 — the PDSYMV2 analogue).
 
     Fallback is a plain full dot.  Rows of the result below the window
     are zeros on the kernel path and whatever the full product gives on
     the fallback path — callers mask them either way (the TRD panel
     recurrence only consumes rows > current column).
     """
+    vec = x.ndim == 1
+    nc = 1 if vec else x.shape[1]
     if interpret:
-        if not _HAS_PALLAS or not _symv_eligible(b, t0):
+        if not _HAS_PALLAS or not _symv_eligible(b, t0) or nc > 8:
             return b @ x
     elif (_DISABLED or not _HAS_PALLAS
-          or jax.default_backend() != "tpu" or not _symv_eligible(b, t0)):
+          or jax.default_backend() != "tpu" or not _symv_eligible(b, t0)
+          or nc > 8):
         return b @ x
-    return _symv_pallas(b, x, t0, interpret=interpret)
+    xt = x.reshape(1, -1) if vec else x.T
+    q = _symv_pallas(b, xt, t0, nc, interpret=interpret)
+    return q.reshape(-1) if vec else q.T
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,20 @@ def test_windowed_matches_rolled(n):
     assert r_win.v.shape == (n, n) and r_win.tau.shape == (n,)
 
 
+@pytest.mark.parametrize("n", [300, 520])
+def test_band2_windowed_matches_rolled(n):
+    from eigenexa_tpu.ops.band import assemble_band2, band2_reduce
+
+    a = jnp.asarray(_sym(n, seed=10 + n))
+    w_ref = np.linalg.eigvalsh(np.asarray(a, np.float64))
+    scale = np.max(np.abs(w_ref))
+    for impl in ("rolled", "windowed"):
+        r = band2_reduce(a, nb=64, impl=impl)
+        p = np.asarray(assemble_band2(r.d, r.e1, r.e2), np.float64)
+        w = np.linalg.eigvalsh(p)
+        np.testing.assert_allclose(w, w_ref, atol=5e-6 * scale)
+
+
 def test_windowed_end_to_end_solve():
     """Full eigen_s through the windowed TRD (dispatch override) must meet
     the reference acceptance thresholds (benchmark/ev_test.f:182-204)."""
@@ -107,5 +121,11 @@ def test_windowed_end_to_end_solve():
         w_ref = np.linalg.eigvalsh(np.asarray(a, np.float64))
         err = np.max(np.abs(np.asarray(w) - w_ref)) / np.max(np.abs(w_ref))
         assert err < 1e-5  # f32 headroom over the 1.5e-8 f64 contract
+        # eigen_sx through the windowed band-2 reduction
+        from eigenexa_tpu.solvers.solver import eigen_sx
+
+        w2, z2, _ = eigen_sx(a, ctx=ctx)
+        assert checks.residual_check(a, z2, w2).passed
+        assert checks.orthogonality_check(z2).passed
     finally:
         householder.TRD_IMPL = old
