@@ -327,15 +327,22 @@ def _tridiagonalize_windowed(a: jnp.ndarray, nb: int, group: int,
 
 def _windowed_eligible(a, n: int) -> bool:
     """The windowed path needs the Pallas kernels (TPU backend, f32,
-    real); below n=512 the rolled fused path compiles faster and the
-    memory/bandwidth savings are noise."""
+    real).  Measured on v5e: the rolled fused path is FASTER at every
+    size it fits (XLA's in-program matvec streams at ~70% of HBM
+    roofline; the packed-triangle symv kernel runs at ~1/3 of that, so
+    halving traffic still loses) — windowed is the *memory* path: ~2·n²
+    live vs rolled's ~5·n², so it is chosen only when the rolled
+    footprint (≈5 f32 n² buffers) would pressure the 16 GB HBM."""
     from eigenexa_tpu.ops import pallas_kernels as pk
 
     if a.dtype != jnp.float32 or n < 512:
         return False
     if pk._DISABLED or not pk._HAS_PALLAS:
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    rolled_peak = 5.0 * n * n * 4  # bytes
+    return rolled_peak > 0.55 * 16e9
 
 
 def tridiagonalize(a: jnp.ndarray, nb: int = 64,

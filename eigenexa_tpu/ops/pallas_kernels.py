@@ -184,12 +184,18 @@ def _symv_decode(r, c, nw):
     """Packed-triangle grid decode: pair row r with row nw-1-r so a
     rectangular ((nw+1)//2, nw+1) grid enumerates exactly the lower
     tiles (i, j<=i).  `dead` marks the duplicate half of a self-paired
-    middle row (odd nw)."""
+    middle row (odd nw).
+
+    All integer math is explicit i32: under jax_enable_x64 a Python int
+    inside ``jnp.where`` becomes a weak i64 whose convert Mosaic lowers
+    with infinite recursion (index maps are lowered by Mosaic too)."""
+    one = jnp.int32(1)
+    nw1 = jnp.int32(nw - 1)
     lower = c <= r
-    i = jnp.where(lower, r, nw - 1 - r)
-    j = jnp.where(lower, c, i - (c - r - 1))
-    dead = jnp.logical_and(jnp.logical_not(lower), 2 * r == nw - 1)
-    return i.astype(jnp.int32), j.astype(jnp.int32), dead
+    i = jnp.where(lower, r, nw1 - r)
+    j = jnp.where(lower, c, i - (c - r - one))
+    dead = jnp.logical_and(jnp.logical_not(lower), r + r == nw1)
+    return i, j, dead
 
 
 @functools.partial(jax.jit, static_argnames=("t0", "nc", "interpret"))
@@ -238,21 +244,27 @@ def _symv_pallas(b, xt, t0: int, nc: int, interpret: bool = False):
                     preferred_element_type=jnp.float32)
                 q_ref[:, pl.ds((t0 + j) * tm, tm)] += qj
 
+    # i32 constants are built INSIDE each map: outside they'd be captured
+    # tracers (pallas rejects those), and Python literals would go weak-i64
+    # under x64 (Mosaic recurses lowering the convert)
     def bmap(r, c):
+        z = jnp.int32(0)
         i, j, dead = _symv_decode(r, c, nw)
-        i = jnp.where(dead, 0, i)
-        j = jnp.where(dead, 0, j)
-        return (t0 + i, t0 + j)
+        i = jnp.where(dead, z, i)
+        j = jnp.where(dead, z, j)
+        return (jnp.int32(t0) + i, jnp.int32(t0) + j)
 
     def xjmap(r, c):
+        z = jnp.int32(0)
         i, j, dead = _symv_decode(r, c, nw)
-        j = jnp.where(dead, 0, j)
-        return (jnp.int32(0), t0 + j)
+        j = jnp.where(dead, z, j)
+        return (z, jnp.int32(t0) + j)
 
     def ximap(r, c):
+        z = jnp.int32(0)
         i, j, dead = _symv_decode(r, c, nw)
-        i = jnp.where(dead, 0, i)
-        return (jnp.int32(0), t0 + i)
+        i = jnp.where(dead, z, i)
+        return (z, jnp.int32(t0) + i)
 
     return pl.pallas_call(
         kernel,
@@ -263,7 +275,10 @@ def _symv_pallas(b, xt, t0: int, nc: int, interpret: bool = False):
             pl.BlockSpec((nc, tm), xjmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, tm), ximap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nc, m), lambda r, c: (0, 0),
+        # index-map literals must be i32: under jax_enable_x64 a Python 0
+        # becomes a weak i64 and Mosaic fails to legalize the return
+        out_specs=pl.BlockSpec((nc, m),
+                               lambda r, c: (jnp.int32(0), jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(b, xt, xt)

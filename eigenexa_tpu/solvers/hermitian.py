@@ -223,6 +223,14 @@ def eigen_h_realpair(
         with jax.default_matmul_precision(
                 (ctx or default_context()).config.matmul_precision):
             zr, zi, defect = newton_schulz_unitarize(zr, zi, iters=2)
+        # 0.3 separates two regimes with a >10× margin each side: a
+        # pathological pick (two extracted columns [nearly] collinear in
+        # C^n) puts a ~1 off-diagonal in the Gram matrix, so the
+        # entrywise defect is ≥ ~0.5 even for partial overlap — and
+        # Newton–Schulz cannot repair it (rank defect; convergence needs
+        # ‖ZᴴZ−I‖₂ < 1).  A clean extraction's defect is within-pair
+        # rounding noise, measured ≤ ~1e-2 at f32 (tests assert both
+        # regimes: tests/test_hermitian_embed.py::test_defect_threshold_*)
         if float(defect) > 0.3:
             zfix = _host_cluster_fix(
                 w, zr, zi, v2, eps=float(jnp.finfo(zr.dtype).eps))

@@ -25,6 +25,16 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+# persistent compile cache: the four-digit-n tests are compile-dominated
+# (n=1024 fused solve ~100 s cold, ~5 s warm); entries are keyed by
+# backend+flags so the CPU-mesh tests never collide with on-chip runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture(scope="session")
 def devices():
