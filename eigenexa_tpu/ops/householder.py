@@ -341,8 +341,12 @@ def _windowed_eligible(a, n: int) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    rolled_peak = 5.0 * n * n * 4  # bytes
-    return rolled_peak > 0.55 * 16e9
+    # empirical v5e footprint: the rolled whole-solve peaks at ~15 f32 n²
+    # buffer-equivalents once XLA scan double-buffers and stage temps are
+    # counted (measured: n=8192 fits comfortably, n=16384 hits
+    # RESOURCE_EXHAUSTED on the 16 GB chip)
+    rolled_peak = 15.0 * n * n * 4  # bytes
+    return rolled_peak > 0.9 * 16e9
 
 
 def tridiagonalize(a: jnp.ndarray, nb: int = 64,

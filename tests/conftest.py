@@ -25,6 +25,22 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+# XLA's CPU pipeline recurses deeply compiling the four-digit-n fused
+# programs; with the default 8 MB main-thread stack this intermittently
+# segfaults late in a long suite run (observed in backend_compile and in
+# cache serialization).  Raise the stack ceiling — the main thread grows
+# lazily up to RLIMIT_STACK on Linux, so this takes effect mid-process.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except Exception:
+    pass
+
 # persistent compile cache: the four-digit-n tests are compile-dominated
 # (n=1024 fused solve ~100 s cold, ~5 s warm); entries are keyed by
 # backend+flags so the CPU-mesh tests never collide with on-chip runs
@@ -39,3 +55,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+@pytest.fixture(autouse=True)
+def _hermetic_default_context():
+    """eigen_init() installs a process-global default EigenContext; a test
+    that inits with a custom SolverConfig would otherwise leak panel sizes
+    into every later no-ctx solve (changing the programs they trace, which
+    also defeats the persistent compile cache across test orderings)."""
+    yield
+    from eigenexa_tpu import runtime
+
+    runtime._DEFAULT_CTX = None
