@@ -41,15 +41,19 @@ try:
 except Exception:
     pass
 
-# persistent compile cache: the four-digit-n tests are compile-dominated
-# (n=1024 fused solve ~100 s cold, ~5 s warm); entries are keyed by
-# backend+flags so the CPU-mesh tests never collide with on-chip runs
+# persistent compile cache, READ-ONLY in the suite: the four-digit-n
+# tests are compile-dominated (n=1024 fused solve ~100 s cold, ~5 s on a
+# cache hit), and standalone runs (bench.py, scripts, single-file pytest)
+# populate entries.  Writes are disabled here because XLA's
+# executable.serialize() segfaulted repeatedly when invoked late in a
+# long suite process (observed 3× in put_executable_and_time across
+# different tests); reads never crashed.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 
 @pytest.fixture(scope="session")
