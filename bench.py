@@ -8,7 +8,7 @@ the speedup of this framework over the incumbent on the same hardware —
 jax.numpy.linalg.eigh (XLA's built-in eigensolver) on an identical matrix.
 Beating it means a user gets a faster eigh by switching to this framework.
 
-Env knobs: BENCH_N (default 2048), BENCH_DTYPE (f32), BENCH_NB (64).
+Env knobs: BENCH_N (default 8192), BENCH_DTYPE (f32), BENCH_NB (64).
 """
 
 import json

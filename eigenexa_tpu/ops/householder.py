@@ -325,14 +325,30 @@ def _tridiagonalize_windowed(a: jnp.ndarray, nb: int, group: int,
                          v=v_big[:n, :n], tau=tau_full[:n])
 
 
+def _hbm_bytes() -> float:
+    """Usable device memory for the rolled-vs-windowed dispatch.  Queried
+    from the device when available (v4 has 32 GB, v5p 95 GB — a 16 GB
+    constant would force the windowed path too early there)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit", 0)
+        if limit and limit > 0:
+            return float(limit)
+    except Exception:
+        pass
+    return 16e9
+
+
 def _windowed_eligible(a, n: int) -> bool:
     """The windowed path needs the Pallas kernels (TPU backend, f32,
     real).  Measured on v5e: the rolled fused path is FASTER at every
     size it fits (XLA's in-program matvec streams at ~70% of HBM
     roofline; the packed-triangle symv kernel runs at ~1/3 of that, so
     halving traffic still loses) — windowed is the *memory* path: ~2·n²
-    live vs rolled's ~5·n², so it is chosen only when the rolled
-    footprint (≈5 f32 n² buffers) would pressure the 16 GB HBM."""
+    live for the reduction itself vs the rolled WHOLE-SOLVE peak of
+    ~15 f32 n² buffer-equivalents (measured; XLA scan double-buffering
+    and stage temps dominate the 5 live buffers the algorithm names), so
+    it is chosen only when that rolled peak would pressure the HBM."""
     from eigenexa_tpu.ops import pallas_kernels as pk
 
     if a.dtype != jnp.float32 or n < 512:
@@ -346,7 +362,7 @@ def _windowed_eligible(a, n: int) -> bool:
     # counted (measured: n=8192 fits comfortably, n=16384 hits
     # RESOURCE_EXHAUSTED on the 16 GB chip)
     rolled_peak = 15.0 * n * n * 4  # bytes
-    return rolled_peak > 0.9 * 16e9
+    return rolled_peak > 0.9 * _hbm_bytes()
 
 
 def tridiagonalize(a: jnp.ndarray, nb: int = 64,

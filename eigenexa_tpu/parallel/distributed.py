@@ -127,8 +127,16 @@ def _dist_solve(a_pad, n: int, nvec: int, mode: str, nb_f: int, nb_b: int,
         return w, z[:n, :nvec]
 
     if mode in ("S", "C"):
-        eye = jnp.eye(big_n, big_n, dtype=a_pad.dtype)
-        eye = jax.lax.with_sharding_constraint(eye, matrix_sharding(mesh))
+        # distributed Z := I, built shard-local (reference:
+        # eigen_identity.F) — never materializes a replicated n² eye
+        def _eye_shard(dtype=a_pad.dtype, m_x=big_n // px,
+                       m_y=big_n // py):
+            g_r = jax.lax.axis_index("x") * m_x + jnp.arange(m_x)
+            g_c = jax.lax.axis_index("y") * m_y + jnp.arange(m_y)
+            return (g_r[:, None] == g_c[None, :]).astype(dtype)
+
+        eye = jax.shard_map(_eye_shard, mesh=mesh, in_specs=(),
+                            out_specs=P("x", "y"), check_vma=False)()
         if mode == "C":
             return d / sigma, eye[:n, :nvec]
         z = jax.shard_map(

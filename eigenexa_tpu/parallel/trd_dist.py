@@ -234,19 +234,40 @@ def trbak_shard(z_loc, v_loc, tau, nb: int):
     (reference: the reduce_dbl calls in src/trbakwy4_body.F:235,287), then
     a local MXU GEMM — the reference's bcast of the V panel is free here
     because every shard already owns its rows of V.
+
+    Full-width blocks run under ONE ``lax.scan`` (every block already
+    touches all m_x local rows, so the scan body has fixed shapes and
+    costs no extra flops); only the remainder block is peeled.  Compile
+    size is therefore independent of n/nb — required for n ≥ 16k traces.
     """
     from eigenexa_tpu.ops.householder import wy_t_from_gram
 
     n_tot = v_loc.shape[1]
-    blocks = list(range(0, max(n_tot - 1, 0), nb))
-    for k in reversed(blocks):
-        b = min(nb, n_tot - 1 - k)
-        if b <= 0:
-            continue
-        vb = lax.slice_in_dim(v_loc, k, k + b, axis=1)
-        tb = lax.slice_in_dim(tau, k, k + b)
+
+    def apply_block(z_loc, vb, tb):
         gram = psum_x(jnp.conj(vb.T) @ vb)
         t = wy_t_from_gram(gram, tb)
         s = psum_x(jnp.conj(vb.T) @ z_loc)
-        z_loc = z_loc - vb @ (t @ s)
+        return z_loc - vb @ (t @ s)
+
+    nfull = max(n_tot - 1, 0) // nb
+    k_rem = nfull * nb
+    b_rem = max(n_tot - 1 - k_rem, 0)
+    if b_rem > 0:                       # remainder applies first (reverse)
+        z_loc = apply_block(
+            z_loc,
+            lax.slice_in_dim(v_loc, k_rem, k_rem + b_rem, axis=1),
+            lax.slice_in_dim(tau, k_rem, k_rem + b_rem),
+        )
+    if nfull == 0:
+        return z_loc
+
+    def body(z_loc, k):
+        vb = lax.dynamic_slice(
+            v_loc, (jnp.int32(0), k), (v_loc.shape[0], nb))
+        tb = lax.dynamic_slice(tau, (k,), (nb,))
+        return apply_block(z_loc, vb, tb), None
+
+    ks = jnp.arange(nfull - 1, -1, -1, dtype=jnp.int32) * nb
+    z_loc, _ = lax.scan(body, z_loc, ks)
     return z_loc

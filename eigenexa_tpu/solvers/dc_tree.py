@@ -250,6 +250,81 @@ def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
     return jnp.asarray(w[:n]), q[:n, :n]
 
 
+def _solve_tridiag_level(d, e, leaf: int, vec_dtype, n_iter: int,
+                         work_dtype, leaf_kind: str):
+    """Eager per-LEVEL orchestration: one jitted program per tree level,
+    dispatched from the host — the reference's eager level loop
+    (src/FS_PDLAED0.F90:197-246 walks the merge tree one level at a time
+    for exactly this reason: one giant program does not scale).
+
+    Compile size scales with the number of levels (~log2 n), not with n,
+    which is what lets the whole-solve run at n ≥ 16384 on the TPU where
+    the fully-fused tree (`_solve_tridiag_fused`) exceeds what the
+    toolchain will compile.  All matrix data stays on device (the merges
+    are the same `_merge_level_jit` programs the fused path traces); only
+    the O(n) cut bookkeeping runs on the host.  NOT traceable — called
+    outside jit by the solver facade.
+    """
+    wdt = work_dtype
+    n = d.shape[0]
+    d_h = np.asarray(d, np.float64)
+    e_h = np.asarray(e, np.float64)
+    if not (np.isfinite(d_h).all() and np.isfinite(e_h).all()):
+        # NaN-poisoning contract (src/eigen_s.F:156-160)
+        return (jnp.full((n,), jnp.nan, wdt),
+                jnp.full((n, n), jnp.nan, vec_dtype))
+    leaf = max(2, min(leaf, n))
+    m, levels = _pad_sizes(n, leaf)
+
+    span = np.abs(d_h).max() + (np.abs(e_h).max() if n > 1 else 0.0)
+    base = max(span, 1e-30)
+    d_pad = np.concatenate([d_h, 2.0 * base
+                            + (base / m) * np.arange(m - n)])
+    e_pad = np.concatenate([e_h, np.zeros(m - n + 1)])
+    cuts = np.arange(leaf, m, leaf)
+    rho_all = np.abs(e_pad[cuts - 1])
+    d_mod = d_pad.copy()
+    d_mod[cuts - 1] -= rho_all
+    d_mod[cuts] -= rho_all
+
+    nblk = m // leaf
+    np_wdt = np.dtype(wdt)
+    d_blocks = jnp.asarray(d_mod.reshape(nblk, leaf).astype(np_wdt))
+    e_idx = (np.arange(nblk)[:, None] * leaf
+             + np.arange(max(leaf - 1, 1))[None, :]).reshape(-1)
+    e_blocks = jnp.asarray(
+        e_pad[e_idx].reshape(nblk, max(leaf - 1, 1))[:, : leaf - 1]
+        .astype(np_wdt))
+    if leaf_kind == "analytic2":
+        w, q = jax.jit(_leaf_analytic2)(d_blocks, e_blocks)
+    else:
+        w, q = jax.jit(_leaf_eigh)(d_blocks, e_blocks)
+    row0 = q[:, 0, :]
+    row1 = q[:, -1, :]
+    q = q.astype(vec_dtype)
+
+    for lvl in range(levels):
+        s = leaf * (2**lvl)
+        cut_pos = np.arange(s, m, 2 * s)
+        rho = jnp.asarray(np.abs(e_pad[cut_pos - 1]).astype(np_wdt))
+        sgn = jnp.asarray(
+            np.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0).astype(np_wdt))
+        w, q, row0, row1 = _merge_level_jit(
+            w, q, row0, row1, rho, sgn,
+            vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+            work_dtype=jnp.dtype(wdt))
+
+    w = w.reshape(m)
+    q = q.reshape(m, m)
+    return w[:n], q[:n, :n]
+
+
+# above this n the fully-fused tree exceeds what the TPU toolchain will
+# compile (measured r03: n=8192 fused compiles and is cached; n=16384 does
+# not finish) — larger problems take the per-level eager orchestration
+FUSED_TREE_MAX_N = 8192
+
+
 def solve_tridiag_dc(
     d: jnp.ndarray,
     e: jnp.ndarray,
@@ -272,8 +347,10 @@ def solve_tridiag_dc(
     leaf_kind: 'eigh' (LAPACK-style dense leaves) or 'analytic2'
     (closed-form 2×2 leaves) — jax impl only.
     impl: 'jax' (fully jitted merges — default everywhere except the
-    TPU f64 path; one compiled program per level, all data stays on
-    device) or 'host' (eager: numpy secular core on host, device GEMM
+    TPU f64 path and TPU n > FUSED_TREE_MAX_N; one compiled program for
+    the whole tree, all data stays on device), 'level' (eager per-level
+    dispatch of the same device merges — the large-n TPU path; NOT
+    traceable) or 'host' (eager: numpy secular core on host, device GEMM
     cascade — the TPU f64 path, where the emulated-f64 merge graph has
     pathological compile times; NOT traceable under jit).
     """
@@ -282,7 +359,11 @@ def solve_tridiag_dc(
     on_cpu = jax.default_backend() == "cpu"
     f32_vecs = jnp.dtype(vec_dtype) == jnp.dtype(jnp.float32)
     if impl is None:
-        impl = "jax" if (on_cpu or f32_vecs) else "host"
+        if on_cpu or f32_vecs:
+            impl = ("level" if (not on_cpu and n > FUSED_TREE_MAX_N)
+                    else "jax")
+        else:
+            impl = "host"
     if work_dtype is None:
         work_dtype = (jnp.dtype(jnp.float32) if (not on_cpu and f32_vecs)
                       else jax.dtypes.canonicalize_dtype(np.float64))
@@ -300,6 +381,10 @@ def solve_tridiag_dc(
     if leaf_kind == "analytic2":
         leaf = 2
     leaf = max(2, min(leaf, n))
+    if impl == "level":
+        return _solve_tridiag_level(
+            d, e, leaf=leaf, vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+            work_dtype=work_dtype, leaf_kind=leaf_kind)
     return _solve_tridiag_fused(
         d, e, leaf=leaf, vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
         work_dtype=work_dtype, leaf_kind=leaf_kind,

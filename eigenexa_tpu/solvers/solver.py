@@ -330,11 +330,19 @@ _solve_core_jit = functools.partial(
 
 def _core_traceable(a, mode: str, band: int) -> bool:
     # band=1 D&C and (since the fused two-merge tree) band=2 are both
-    # traceable whenever they take their jax impls
+    # traceable whenever they take their jax impls.  Above
+    # FUSED_TREE_MAX_N on TPU the D&C dispatches its eager per-level
+    # orchestration (dc_tree._solve_tridiag_level), which is not
+    # traceable — the facade then runs the staged eager path.
     if mode not in ("A", "N", "X", "S", "T", "C"):
         return False
-    return (jax.default_backend() == "cpu"
-            or jnp.dtype(a.dtype) == jnp.dtype(jnp.float32))
+    if jax.default_backend() == "cpu":
+        return True
+    if jnp.dtype(a.dtype) != jnp.dtype(jnp.float32):
+        return False
+    from eigenexa_tpu.solvers.dc_tree import FUSED_TREE_MAX_N
+
+    return a.shape[0] <= FUSED_TREE_MAX_N
 
 
 def eigen_s(

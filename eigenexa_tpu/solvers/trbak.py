@@ -16,11 +16,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from eigenexa_tpu.ops.householder import wy_t_factor, apply_wy_left
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
+# above this many WY blocks the Python-unrolled program (one GEMM pair per
+# block, each a distinct shape) becomes a compile-size hazard — switch to
+# the chunk+scan formulation (measured: 64 blocks/n=8192 compiles fine)
+_UNROLL_MAX_BLOCKS = 64
+
+
 def back_transform(z: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray,
                    nb: int = 128) -> jnp.ndarray:
     """Z ← Q·Z where Q = H_0·…·H_{n-3} from `tridiagonalize`.
@@ -29,10 +35,26 @@ def back_transform(z: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray,
     eigenvectors of the original A.  Blocks are applied in reverse order so
     the product telescopes as Q = B_0·(B_1·(…·(B_L·Z))).
 
-    Row slices are static (Python loop), so each block's GEMMs only touch
-    the nonzero rows of V — keeping the true 2·nvec·n² flop count rather
-    than padding to 2·nvec·n²·2.
+    Two formulations, dispatched by block count:
+
+    * unrolled (≤ _UNROLL_MAX_BLOCKS): row slices are static (Python
+      loop), so each block's GEMMs only touch the nonzero rows of V —
+      the true 2·nvec·n² flop count.
+    * chunk+scan (large n): blocks are grouped into ~8 static row-extent
+      chunks; within a chunk a ``lax.scan`` applies fixed-shape blocks
+      (compile size scales with chunk count, not n/nb).  Rows between
+      the chunk start and a block's own start are structurally zero in
+      V, so the extra GEMM rows are exact no-ops costing ~12% flops.
     """
+    n = z.shape[0]
+    nblocks = (max(n - 1, 0) + nb - 1) // nb
+    if nblocks <= _UNROLL_MAX_BLOCKS:
+        return _back_transform_unrolled(z, v, tau, nb=nb)
+    return _back_transform_chunked(z, v, tau, nb=nb)
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _back_transform_unrolled(z, v, tau, nb: int):
     n = z.shape[0]
     # cover n-1 reflector columns: for real input tau[n-2]=0 (no-op), but
     # the Hermitian path uses reflector n-2 as the phase rotation that makes
@@ -47,4 +69,39 @@ def back_transform(z: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray,
         t = wy_t_factor(vb, tb)
         zk = apply_wy_left(z[k:, :], vb, t)
         z = z.at[k:, :].set(zk)
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "n_chunks"))
+def _back_transform_chunked(z, v, tau, nb: int, n_chunks: int = 8):
+    n = z.shape[0]
+    nfull = max(n - 1, 0) // nb          # full-width blocks
+    # remainder block first (it is applied first in reverse order)
+    k_rem = nfull * nb
+    b_rem = max(n - 1 - k_rem, 0)
+    if b_rem > 0:
+        vb = v[k_rem:, k_rem : k_rem + b_rem]
+        t = wy_t_factor(vb, tau[k_rem : k_rem + b_rem])
+        z = z.at[k_rem:, :].set(apply_wy_left(z[k_rem:, :], vb, t))
+    if nfull == 0:
+        return z
+
+    per = -(-nfull // n_chunks)          # blocks per chunk (ceil)
+    chunks = [(c * per, min((c + 1) * per, nfull))
+              for c in range(-(-nfull // per))]
+    for b0, b1 in reversed(chunks):
+        row0 = b0 * nb                   # static row extent of this chunk
+        vc = v[row0:, :]
+        zc = z[row0:, :]
+
+        def body(zc, k, vc=vc, row0=row0):
+            vb = lax.dynamic_slice(
+                vc, (jnp.int32(0), k), (n - row0, nb))
+            tb = lax.dynamic_slice(tau, (k,), (nb,))
+            t = wy_t_factor(vb, tb)
+            return apply_wy_left(zc, vb, t), None
+
+        ks = jnp.arange(b1 - 1, b0 - 1, -1, dtype=jnp.int32) * nb
+        zc, _ = lax.scan(body, zc, ks)
+        z = z.at[row0:, :].set(zc)
     return z

@@ -17,7 +17,6 @@ to tighten values.  We assert "not hard-failed" for mode A and strictly
 better error for mode X.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -29,19 +28,11 @@ pytestmark = pytest.mark.slow
 N = 1024
 
 
-@pytest.fixture(autouse=True)
-def _no_cache_writes():
-    """XLA's executable.serialize() has segfaulted on these four-digit-n
-    CPU executables when invoked late in a long suite process (observed
-    twice, in put_executable_and_time); reads (cache hits) are safe.
-    Raise the write threshold so a cold in-suite run recompiles rather
-    than serializing — warm runs still hit entries written by standalone
-    runs of this file."""
-    old = jax.config.jax_persistent_cache_min_compile_time_secs
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
-    yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
-
+# cache-write safety: conftest.py disables persistent-cache writes
+# suite-wide (jax_persistent_cache_min_compile_time_secs=1e9) because
+# XLA's executable.serialize() has segfaulted on these four-digit-n CPU
+# executables late in long suite runs; standalone runs of this file go
+# through the same conftest, so no per-file fixture is needed.
 
 def _accept(a, w, z, w_true=None):
     r = checks.residual_check(a, z, w)
