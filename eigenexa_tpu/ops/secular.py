@@ -107,30 +107,47 @@ def apply_run_rotation(mat, u_hat, leaders):
     return mat - 2.0 * u_hat[:, None] * s[leaders, :]
 
 
-def _secular_roots(d, z2, rho, active, n_iter: int = 40):
-    """All roots of 1 + ρ·Σ_j z_j²/(d_j − λ) in parallel.
+def _secular_next_active(active):
+    """Per-coordinate index of the next active coordinate (> self);
+    m+1 when none.  O(m) prep shared by the full and subset root solvers
+    (flip+cummin, NOT associative_scan — the latter has pathological
+    compile times on the TPU backend)."""
+    m = active.shape[0]
+    idx = jnp.arange(m)
+    tagged = jnp.where(active, idx, m + 1)
+    suf = jnp.flip(lax.cummin(jnp.flip(tagged)))
+    return jnp.concatenate([suf[1:], jnp.full((1,), m + 1)])
+
+
+def _secular_roots(d, z2, rho, active, n_iter: int = 40, ridx=None):
+    """Roots of 1 + ρ·Σ_j z_j²/(d_j − λ), all in parallel.
 
     Root i (active) lives in (d_i, next-active d_i') — strict interlacing.
-    Returns (shift_idx σ, mu) with λ_i = d[σ_i] + μ_i; the (σ, μ) pair is
+    Returns (shift_d σ, mu, d1) with λ_i = σ_i + μ_i; the (σ, μ) pair is
     the cancellation-free representation dlaed4 mandates for downstream
-    d_j − λ_i differences.
+    d_j − λ_i differences (d1[j, i] = d_j − σ_i).
+
+    `ridx` (optional, (p,) int) restricts the solve to the roots at those
+    sorted coordinates — the memory-chunked path: every per-root array is
+    (p,) and every matrix (m, p), so a column-panelled caller never holds
+    an (m, m) transient (the FS_PDLAED3 DGEMM-pipeline analogue,
+    reference: src/FS_PDLAED3.F90:646-765).
     """
     m = d.shape[0]
     idx = jnp.arange(m)
-    tagged = jnp.where(active, idx, m + 1)
-    # suffix-min of tagged gives, at j, the first active index ≥ j
-    # (flip+cummin, NOT associative_scan — the latter has pathological
-    # compile times on the TPU backend)
-    suf = jnp.flip(lax.cummin(jnp.flip(tagged)))
-    nxt = jnp.concatenate([suf[1:], jnp.full((1,), m + 1)])
-    has_next = nxt <= m
-    nxt_c = jnp.clip(nxt, 0, m - 1)
+    nxt_all = _secular_next_active(active)
     sumz2 = jnp.sum(jnp.where(active, z2, 0.0))
     # scale-relative slack: λ_max < d_max + ρ‖z‖² strictly, so doubling the
     # update radius always brackets the last root at any matrix scale
     slack = jnp.maximum(rho * sumz2, TINY)
-    a = d
-    b = jnp.where(has_next, d[nxt_c], d + rho * sumz2 + slack)
+
+    if ridx is None:
+        ridx = idx
+    a = d[ridx]
+    nxt = nxt_all[ridx]
+    has_next = nxt <= m
+    nxt_c = jnp.clip(nxt, 0, m - 1)
+    b = jnp.where(has_next, d[nxt_c], a + rho * sumz2 + slack)
 
     zA = jnp.where(active, z2, 0.0)
 
@@ -163,7 +180,7 @@ def _secular_roots(d, z2, rho, active, n_iter: int = 40):
     tiny = TINY
     p1 = a - shift_d                           # this root's lower pole
     p2 = jnp.where(has_next, d[nxt_c] - shift_d, 2.0 * (b - shift_d))
-    low_mask = (idx[:, None] <= idx[None, :])  # j <= i : psi part
+    low_mask = (idx[:, None] <= ridx[None, :])  # j <= i : psi part
 
     def body(_, state):
         mu, lo, hi = state
@@ -308,3 +325,114 @@ def rank1_merge_core(d, z, rho, n_iter: int = 40,
     lam = lam[order]
     c = c[:, order]
     return MergeCore(lam=lam, c=c, perm=perm)
+
+
+def rank1_merge_apply(d, z, rho, q_rows, aux_rows, row_off, s_rows: int,
+                      n_iter: int = 40, work_dtype=None,
+                      panel: int = 1024):
+    """Memory-chunked rank-1 merge + row-slice application:
+
+        lam, Q_new, Aux_new  with  X_new = X @ C[row_off : row_off+s_rows]
+
+    where C is the (unsorted-row × final-column) eigenvector transform of
+    diag(d) + ρ·z·zᵀ — the same math as :func:`rank1_merge_core`, but C
+    is NEVER materialized: the secular solve, the ẑ product and the
+    eigenvector columns are produced in panels of `panel` columns, each
+    panel GEMMed into the output immediately.  Per-call transient is
+    O(m·panel) instead of O(m²) — the TPU analogue of FS_PDLAED3's
+    pipelined Q2 panel exchange overlapped with DGEMM (reference:
+    src/FS_PDLAED3.F90:646-659,743-765), which exists for exactly this
+    reason: the top-of-tree merge must not hold the full C per rank.
+
+    q_rows: (r, s_rows) rows of the eigenvector state (storage dtype);
+    aux_rows: (ra, s_rows) auxiliary rows (boundary rows, working dtype);
+    row_off: the (possibly traced) first unsorted C-row this caller owns.
+    """
+    wdt = work_dtype or default_work_dtype()
+    m = d.shape[0]
+    d = d.astype(wdt)
+    z = z.astype(wdt)
+    rho = rho.astype(wdt) if hasattr(rho, "astype") else jnp.asarray(
+        rho, wdt)
+    eps = jnp.finfo(wdt).eps
+    vdt = q_rows.dtype
+
+    panel_eff = min(m, panel)
+    while m % panel_eff:
+        panel_eff //= 2
+    n_pan = m // panel_eff
+
+    perm = jnp.argsort(d)
+    inv_perm = jnp.argsort(perm)
+    ds = d[perm]
+    zs = z[perm]
+    scale = jnp.maximum(jnp.max(jnp.abs(ds)),
+                        rho * jnp.max(jnp.abs(zs)) ** 2)
+    tol = 8.0 * eps * jnp.maximum(scale, TINY)
+    zr, u_hat, leaders = _rotate_runs(ds, zs, tol)
+    active = (rho * jnp.abs(zr)) > tol
+    z2 = zr * zr
+    z_sign = jnp.where(zr >= 0, 1.0, -1.0)
+
+    # ---- pass 1: all roots, chunked over sorted-coordinate panels ----
+    def root_panel(carry, pk):
+        shift_all, mu_all = carry
+        ridx = pk + jnp.arange(panel_eff)
+        sh, mu, _ = _secular_roots(ds, z2, rho, active, n_iter, ridx=ridx)
+        shift_all = lax.dynamic_update_slice(shift_all, sh, (pk,))
+        mu_all = lax.dynamic_update_slice(mu_all, mu, (pk,))
+        return (shift_all, mu_all), None
+
+    pks = jnp.arange(n_pan, dtype=jnp.int32) * panel_eff
+    (shift_all, mu_all), _ = lax.scan(
+        root_panel, (jnp.zeros((m,), wdt), jnp.zeros((m,), wdt)), pks)
+    lam = jnp.where(active, shift_all + mu_all, ds)
+    order = jnp.argsort(lam)
+
+    # ---- ẑ: Gu–Eisenstat product, chunked over root panels ----
+    idx = jnp.arange(m)
+
+    def zh_panel(prod, pk):
+        rid = pk + jnp.arange(panel_eff)
+        # λ_i − d_j, cancellation-free via the (σ, μ) pair
+        lam_md = -(ds[:, None] - shift_all[rid][None, :]) \
+            + mu_all[rid][None, :]
+        dd = ds[rid][None, :] - ds[:, None]
+        offd = active[rid][None, :] & (rid[None, :] != idx[:, None])
+        ratio = lam_md / jnp.where(offd, dd, 1.0)
+        return prod * jnp.prod(jnp.where(offd, ratio, 1.0), axis=1), None
+
+    prod, _ = lax.scan(zh_panel, jnp.ones((m,), wdt), pks)
+    diag_term = -(ds - shift_all) + mu_all        # λ_j − d_j
+    z2h = jnp.maximum(diag_term * prod / rho, 0.0)
+    zh = jnp.where(active, z_sign * jnp.sqrt(z2h), 0.0)
+
+    # ---- pass 2: final-column panels, GEMMed immediately ----
+    row_ids = lax.dynamic_slice(inv_perm, (row_off,), (s_rows,))
+
+    def col_panel(carry, pk):
+        q_new, aux_new = carry
+        rid = lax.dynamic_slice(order, (pk,), (panel_eff,))
+        sh = shift_all[rid]
+        muv = mu_all[rid]
+        act_c = active[rid]
+        delta = (ds[:, None] - sh[None, :]) - muv[None, :]
+        act2 = active[:, None] & act_c[None, :]
+        inv = jnp.where(act2 & (jnp.abs(delta) > TINY), 1.0 / delta, 0.0)
+        u = jnp.where(zh[:, None] != 0, zh[:, None] * inv, 0.0)
+        cnorm = jnp.sqrt(jnp.sum(u * u, axis=0))
+        u = u / jnp.where(cnorm > 0, cnorm, 1.0)[None, :]
+        eye_pan = (idx[:, None] == rid[None, :]).astype(wdt)
+        u = jnp.where(act_c[None, :], u, eye_pan)
+        u = apply_run_rotation(u, u_hat, leaders)
+        c_rows = u[row_ids, :]                    # (s_rows, panel)
+        q_new = lax.dynamic_update_slice(
+            q_new, q_rows @ c_rows.astype(vdt), (jnp.int32(0), pk))
+        aux_new = lax.dynamic_update_slice(
+            aux_new, aux_rows @ c_rows, (jnp.int32(0), pk))
+        return (q_new, aux_new), None
+
+    q0 = jnp.zeros((q_rows.shape[0], m), vdt)
+    a0 = jnp.zeros((aux_rows.shape[0], m), wdt)
+    (q_new, aux_new), _ = lax.scan(col_panel, (q0, a0), pks)
+    return lam[order], q_new, aux_new

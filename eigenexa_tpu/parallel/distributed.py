@@ -245,18 +245,81 @@ def distributed_eigen_s(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nvec", "mode", "nb_f", "nb_b", "mesh"),
+    static_argnames=("n", "nvec", "mode", "nb_f", "nb_b", "mesh"),
     donate_argnums=(0,),
 )
-def _dist_solve_sx(a, nvec: int, mode: str, nb_f: int, nb_b: int,
-                   mesh: Mesh):
-    from eigenexa_tpu.solvers.solver import _solve_core
+def _dist_solve_sx(a_pad, n: int, nvec: int, mode: str, nb_f: int,
+                   nb_b: int, mesh: Mesh):
+    """One XLA program: the distributed band-2 solve on the padded matrix."""
+    from eigenexa_tpu.parallel.prd_dist import prd_panel_shard
+    from eigenexa_tpu.solvers.solver import matrix_scaling
 
-    a = jax.lax.with_sharding_constraint(a, matrix_sharding(mesh))
-    w, z = _solve_core(a, nvec, mode, nb_f, nb_b, band=2)
-    if z is not None:
-        z = jax.lax.with_sharding_constraint(z, matrix_sharding(mesh))
-    return w, z
+    big_n = a_pad.shape[0]
+    px, py = mesh_shape(mesh)
+    a_pad = jax.lax.with_sharding_constraint(a_pad, matrix_sharding(mesh))
+    a_s, sigma = matrix_scaling(a_pad)
+
+    d_f, e1_f, e2_f, tau, v_loc = jax.shard_map(
+        functools.partial(prd_panel_shard, nb=nb_f),
+        mesh=mesh,
+        in_specs=P("x", "y"),
+        out_specs=(P(), P(), P(), P(), P("x", None)),
+    )(a_s)
+    d = d_f[:n]
+    e1 = e1_f[: n - 1]
+    e2 = e2_f[: n - 2]
+
+    if mode == "N":
+        from eigenexa_tpu.ops.sturm import eigvals_bisect_band2
+
+        return eigvals_bisect_band2(d, e1, e2) / sigma, None
+
+    def _trbak(s_pad):
+        from eigenexa_tpu.parallel.trd_dist import trbak_shard
+
+        return jax.shard_map(
+            functools.partial(trbak_shard, nb=nb_b),
+            mesh=mesh,
+            in_specs=(P("x", "y"), P("x", None), P()),
+            out_specs=P("x", "y"),
+        )(s_pad, v_loc, tau)
+
+    if mode in ("A", "X", "T"):
+        # reduced solve: the banded two-merge tree (traceable jax impl).
+        # The O(n²) secular math replicates; the O(n³) GEMM cascades are
+        # GSPMD-shardable.  A rows-pinned distributed twin of the band-2
+        # tree (dc_dist for HBW=2) is the known follow-up.
+        from eigenexa_tpu.solvers.dc_band import solve_band2_dc
+
+        w, s = solve_band2_dc(d, e1, e2, vec_dtype=a_pad.dtype)
+        if mode == "X":
+            from eigenexa_tpu.ops.sturm import refine_eigenvalues_band2
+
+            w = refine_eigenvalues_band2(d, e1, e2, w)
+        w = w / sigma
+        if mode == "T":
+            return w, s[:, :nvec]
+        s_pad = jnp.zeros((big_n, big_n), a_pad.dtype).at[:n, :n].set(s)
+        s_pad = jax.lax.with_sharding_constraint(
+            s_pad, matrix_sharding(mesh))
+        z = _trbak(s_pad)
+        return w, z[:n, :nvec]
+
+    if mode in ("S", "C"):
+        def _eye_shard(dtype=a_pad.dtype, m_x=big_n // px,
+                       m_y=big_n // py):
+            g_r = jax.lax.axis_index("x") * m_x + jnp.arange(m_x)
+            g_c = jax.lax.axis_index("y") * m_y + jnp.arange(m_y)
+            return (g_r[:, None] == g_c[None, :]).astype(dtype)
+
+        eye = jax.shard_map(_eye_shard, mesh=mesh, in_specs=(),
+                            out_specs=P("x", "y"), check_vma=False)()
+        if mode == "C":
+            return d / sigma, eye[:n, :nvec]
+        z = _trbak(eye)
+        return d / sigma, z[:n, :nvec]
+
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 def distributed_eigen_sx(
@@ -265,25 +328,58 @@ def distributed_eigen_sx(
     nvec: Optional[int] = None,
     mode: str = "A",
     config: Optional[SolverConfig] = None,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """eigen_sx (pentadiagonal path) over a mesh.
+    with_info: bool = False,
+):
+    """eigen_sx (pentadiagonal path) over a mesh — the explicit shard_map
+    pipeline (reference: src/eigen_sx.F:30 on the 2D grid).
 
-    INTERIM distribution level: the band-2 reduction and banded D&C are
-    one traced program partitioned by GSPMD under sharding constraints
-    (the O(n³) GEMM work shards; the sequential pair recurrence
-    replicates).  The shard_map PRD with explicit pair-reflector
-    collectives — the twin of trd_dist.trd_panel_shard for MBAND=2
-    (reference: src/eigen_prd_t2.F:90 PDSYMV2 + datacast_dbl2,
-    src/comm.F:1569) — is the known follow-up; eigen_s is the flagship
-    distributed path.
+    Stages: distributed PRD pair recurrence with per-pair collectives
+    and the two-vector datacast (parallel/prd_dist.py — the PDSYMV2 +
+    datacast_dbl2 pattern, src/eigen_prd_t2.F:90, src/comm.F:1569),
+    banded two-merge D&C on the pentadiagonal, distributed WY
+    back-transform with MBAND=2 reflector storage.
     """
+    import time
+
     cfg = config or SolverConfig()
     _check_dtype_supported(a.dtype)
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
-    a = shard_matrix(a, mesh)
-    return _dist_solve_sx(a, nvec, mode.upper(), cfg.panel_forward,
+    px, py = mesh_shape(mesh)
+    nb = cfg.panel_forward + cfg.panel_forward % 2
+    # pairs must never straddle a shard boundary: m_x, m_y even
+    big_n = _round_up(n, math.lcm(2 * px, 2 * py, nb))
+    if with_info:
+        _mesh_overheads(mesh)
+    t0 = time.perf_counter()
+    a_pad = jnp.zeros((big_n, big_n), a.dtype).at[:n, :n].set(a)
+    a_pad = shard_matrix(a_pad, mesh)
+    w, z = _dist_solve_sx(a_pad, n, nvec, mode.upper(), nb,
                           cfg.panel_backward, mesh)
+    if not with_info:
+        return w, z
+    from eigenexa_tpu.parallel.collectives import CommStats
+    from eigenexa_tpu.parallel.prd_dist import comm_model_prd
+    from eigenexa_tpu.parallel.trd_dist import comm_model_trbak
+    from eigenexa_tpu.solvers.solver import SolveInfo, flop_model
+
+    jax.block_until_ready(z if z is not None else w)
+    elapsed = time.perf_counter() - t0
+    item = jnp.dtype(a.dtype).itemsize
+    stats = CommStats()
+    stats.merge(comm_model_prd(big_n, nb, px, py, item))
+    if mode.upper() in ("A", "X", "S"):
+        stats.merge(comm_model_trbak(big_n, big_n // py,
+                                     cfg.panel_backward, item))
+    lat, per_byte = _mesh_overheads(mesh)
+    info = SolveInfo(
+        flops=flop_model(n, nvec, mode.upper() in ("A", "X", "S")),
+        elapsed=elapsed,
+        comm_time=stats.seconds(lat, per_byte),
+        n=n, nvec=nvec, mode=mode.upper(),
+        comm_stats=stats,
+    )
+    return w, z, info
 
 
 def distributed_eigen_h(

@@ -46,22 +46,22 @@ from eigenexa_tpu.parallel.collectives import (
 )
 
 
-def _dist_householder(col, g_x, k):
+def _dist_householder(col, g_x, pivot):
     """Householder reflector of a column sharded along 'x'.
 
     col: (m_x,) local rows of the current column; g_x global row indices;
-    k the (traced) global column index.  Pivot row is k+1; the tail is
-    rows ≥ k+2.  Returns (v local shard, tau, beta) with tau/beta
+    `pivot` the (traced) global pivot row — k+1 for the tridiagonal
+    reduction, k+2/k+3 for the two reflectors of a band-2 pair.  The tail
+    is rows > pivot.  Returns (v local shard, tau, beta) with tau/beta
     replicated — the distributed twin of ops.householder.householder_vector
     (reference: eigen_trd_compute_u, src/eigen_trd_t4.F:81: local partial
     norms + reduce along the column communicator).
     """
     dtype = col.dtype
     rdtype = jnp.zeros((), dtype).real.dtype
-    pivot = k + 1
     own_piv = g_x == pivot
     alpha = psum_x(jnp.sum(jnp.where(own_piv, col, 0)))
-    tail_mask = g_x >= k + 2
+    tail_mask = g_x > pivot
     tail = jnp.where(tail_mask, col, 0)
     scale = jnp.maximum(
         pmax(jnp.max(jnp.abs(tail)), "x"), jnp.finfo(rdtype).tiny
@@ -128,7 +128,7 @@ def trd_panel_shard(a_loc, nb: int):
         # in-panel rank-2 corrections (eigen_trd_local_2update analogue,
         # src/eigen_trd_t5.F:71)
         col = col - u_p @ jnp.conj(uw_row[nb:]) - w_p @ jnp.conj(uw_row[:nb])
-        v, tau, beta = _dist_householder(col, g_x, k)
+        v, tau, beta = _dist_householder(col, g_x, k + 1)
         # --- datacast v (x-layout) -> v_y (y-layout), src/comm.F:1377 ---
         v_y = datacast_block(v, "x", "y", m_y)
         # --- q = A·v: local GEMV + reduce along y (eigen_trd_au,

@@ -53,7 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from eigenexa_tpu.parallel.collectives import grouped_allreduce
 from eigenexa_tpu.parallel.mesh import mesh_shape
-from eigenexa_tpu.ops.secular import rank1_merge_core
+from eigenexa_tpu.ops.secular import rank1_merge_apply, rank1_merge_core
 from eigenexa_tpu.solvers.dc_tree import (
     _leaf_analytic2,
     _leaf_eigh,
@@ -72,8 +72,17 @@ def _tree_sizes(n: int, p: int, leaf: int) -> Tuple[int, int, int]:
     return m, levels, m // p
 
 
+# group merges whose width 2s reaches this size build C in column panels
+# (rank1_merge_apply) instead of materializing the (2s)² transient — the
+# FS_PDLAED3 DGEMM-pipeline analogue.  Width of one panel: _CHUNK_PANEL.
+_CHUNK_MIN_WIDTH = 4096
+_CHUNK_PANEL = 512
+
+
 def _dc_tree_shard(d_mod, e_pad, *, leaf: int, leaf_kind: str, n_iter: int,
-                   work_dtype, vec_dtype, px: int, py: int, rloc: int):
+                   work_dtype, vec_dtype, px: int, py: int, rloc: int,
+                   chunk_min: int = _CHUNK_MIN_WIDTH,
+                   chunk_panel: int = _CHUNK_PANEL):
     """shard_map body: the full merge tree for this shard's rows.
 
     d_mod/e_pad: (n_pad,) replicated (Cuppen-modified diagonal and padded
@@ -148,22 +157,33 @@ def _dc_tree_shard(d_mod, e_pad, *, leaf: int, leaf_kind: str, n_iter: int,
         z = grouped_allreduce(jnp.where(lead, z_c, 0), gsz, px, py)
 
         # --- secular solve, replicated within the group (FS_PDLAED3) ---
-        core = rank1_merge_core(dm, z, rho, n_iter=n_iter, work_dtype=wdt)
-        c_uns = jnp.zeros_like(core.c).at[core.perm, :].set(core.c)
-
-        # --- eigenvector GEMM: my rows × my child's C row-slice ---
-        c_slice = lax.dynamic_slice(c_uns, (half_off, 0), (s, 2 * s))
-        q_loc = q_loc @ c_slice.astype(vec_dtype)
+        if 2 * s >= chunk_min:
+            # memory-scalable top of tree: C produced in column panels and
+            # GEMMed immediately — per-device transient O(2s·panel), never
+            # O((2s)²) (the FS_PDLAED3 pipelined-DGEMM analogue,
+            # src/FS_PDLAED3.F90:646-765)
+            lam, q_loc, rows2 = rank1_merge_apply(
+                dm, z, rho, q_loc, jnp.stack([row0, row1]), half_off, s,
+                n_iter=n_iter, work_dtype=wdt, panel=chunk_panel)
+        else:
+            core = rank1_merge_core(dm, z, rho, n_iter=n_iter,
+                                    work_dtype=wdt)
+            c_uns = jnp.zeros_like(core.c).at[core.perm, :].set(core.c)
+            # --- eigenvector GEMM: my rows × my child's C row-slice ---
+            c_slice = lax.dynamic_slice(c_uns, (half_off, 0), (s, 2 * s))
+            q_loc = q_loc @ c_slice.astype(vec_dtype)
+            # --- boundary rows of the merged block ---
+            rows2 = jnp.stack([row0, row1]) @ c_slice  # (2, 2s) in wdt
+            lam = core.lam
 
         # --- boundary rows of the merged block, re-replicated ---
-        rows2 = jnp.stack([row0, row1]) @ c_slice      # (2, 2s) in wdt
         row0 = grouped_allreduce(
             jnp.where(within == 0, rows2[0], 0), gsz, px, py
         )
         row1 = grouped_allreduce(
             jnp.where(within == gsz - 1, rows2[1], 0), gsz, px, py
         )
-        w = core.lam
+        w = lam
 
     return w, q_loc
 
@@ -215,6 +235,8 @@ def solve_tridiag_dist(
     vec_dtype,
     leaf: int = 0,
     n_iter: int = 0,
+    chunk_min: int = _CHUNK_MIN_WIDTH,
+    chunk_panel: int = _CHUNK_PANEL,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed T = S·diag(w)·Sᵀ with S laid out for the distributed
     back-transform.
@@ -260,6 +282,7 @@ def solve_tridiag_dist(
             _dc_tree_shard, leaf=leaf, leaf_kind=leaf_kind, n_iter=n_iter,
             work_dtype=wdt, vec_dtype=jnp.dtype(vec_dtype),
             px=px, py=py, rloc=rloc,
+            chunk_min=chunk_min, chunk_panel=chunk_panel,
         ),
         mesh=mesh,
         in_specs=(P(), P()),
