@@ -81,20 +81,19 @@ def main():
     r = residual_check(a, z, w)
     o = orthogonality_check(z)
 
-    # eigenvalue error vs the analytic Frank spectrum.  The reference's
-    # absolute/relative √ε thresholds (benchmark/w_test.f:141-175) are an
-    # f64 contract — at f32, ‖A‖·ε_f32 alone exceeds √ε_f32 for the
-    # Frank matrix's ~n² norm — so on-chip f32 runs report the w-error
-    # relative to the backward-stability floor ε·‖A‖₂ (a perfectly
-    # backward-stable solve has w_err_scaled = O(1); D&C typically lands
-    # at O(√n)); the strict f64 w_test runs in tests/ on the CPU mesh.
+    # eigenvalue error vs the analytic Frank spectrum, using the named
+    # backward-stability-scaled criterion (checks.eigenvalue_check_scaled
+    # documents why the strict √ε w_test contract is f64-only; both
+    # criteria are recorded in BASELINE.md).  The strict f64 contract
+    # runs in tests/ and on chip via scripts/w_test_f64_chip.py.
     import numpy as np
 
-    eps = float(jnp.finfo(dtype).eps)
-    anorm = float(jnp.max(jnp.abs(w_true)))
+    from eigenexa_tpu.testing.checks import eigenvalue_check_scaled
+
+    w_chk = eigenvalue_check_scaled(w, w_true)
     w_err = float(np.max(np.abs(np.sort(np.asarray(w, dtype=np.float64))
                                 - np.asarray(w_true))))
-    w_err_scaled = w_err / (eps * anorm)
+    w_err_scaled = w_chk.value
 
     # run-to-run bitwise reproducibility (reference headline contract:
     # benchmark_h/bench_eigen_h.f double-run compare — max|w−w'| and
@@ -119,7 +118,7 @@ def main():
                     "w_err_scaled": round(w_err_scaled, 2),
                     "residual_pass": bool(r.passed),
                     "ortho_pass": bool(o.passed),
-                    "w_pass": bool(w_err_scaled < 768.0),
+                    "w_pass": bool(w_chk.passed),
                     "repro_bitwise": repro,
                     "device": str(dev),
                 },

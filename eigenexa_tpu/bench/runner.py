@@ -189,23 +189,10 @@ def _run_mesh_case(case, a, w_true, mesh, mode, solver_name, dtype,
     from eigenexa_tpu.parallel.mesh import mesh_shape
 
     cfg = SolverConfig(panel_forward=case.bx, panel_backward=case.by)
-    if solver_name == "eigen_sx":
-        import time as _t
-
-        t0 = _t.perf_counter()
-        w, z = distributed_eigen_sx(a, mesh, nvec=case.nvec, mode=mode,
-                                    config=cfg)
-        jax.block_until_ready(z if z is not None else w)
-        from eigenexa_tpu.solvers.solver import SolveInfo, flop_model
-
-        info = SolveInfo(
-            flops=flop_model(case.n, case.nvec, mode in ("A", "X", "S")),
-            elapsed=_t.perf_counter() - t0, n=case.n, nvec=case.nvec,
-            mode=mode)
-    else:
-        w, z, info = distributed_eigen_s(a, mesh, nvec=case.nvec,
-                                         mode=mode, config=cfg,
-                                         with_info=True)
+    solver = (distributed_eigen_sx if solver_name == "eigen_sx"
+              else distributed_eigen_s)
+    w, z, info = solver(a, mesh, nvec=case.nvec, mode=mode, config=cfg,
+                        with_info=True)
     px, py = mesh_shape(mesh)
     report = {
         "n": case.n, "nvec": case.nvec, "mode": mode,
@@ -217,6 +204,8 @@ def _run_mesh_case(case, a, w_true, mesh, mode, solver_name, dtype,
         "model_flops": info.flops,
         "model_gflops": round(info.gflops, 2),
         "comm_s": round(info.comm_time, 6),
+        "comm_stat": (info.comm_stats.report() if info.comm_stats
+                      else {}),
         "checks": {},
     }
     hard_fail = False
@@ -241,6 +230,14 @@ def _run_mesh_case(case, a, w_true, mesh, mode, solver_name, dtype,
         printer(f"    elapsed {report['elapsed_s']} s   "
                 f"model {report['model_gflops']} GFLOP/s   "
                 f"comm {report['comm_s']} s")
+        if info.comm_stats is not None:
+            # COMM_STAT block (reference: eigen_timer_print,
+            # src/eigen_devel.F:440-526)
+            from eigenexa_tpu.parallel.distributed import _mesh_overheads
+
+            lat, per_byte = _mesh_overheads(mesh)
+            for line in info.comm_stats.stat_block(lat, per_byte):
+                printer("    " + line)
         for name, chk in report["checks"].items():
             printer(f"    *** {name:13s} *** : {chk['status']}  "
                     f"({chk['value']:.4g})")

@@ -285,46 +285,94 @@ class CommStats:
             for k in sorted(self.counts)
         }
 
+    def stat_block(self, latency_s: float, per_byte_s: float):
+        """COMM_STAT text block — the per-category count/bytes/attributed
+        time/GB-per-s table the reference prints per stage
+        (eigen_timer_print, src/eigen_devel.F:440-526)."""
+        lines = ["COMM_STAT"]
+        for k in sorted(self.counts):
+            sec = self.counts[k] * latency_s + self.bytes[k] * per_byte_s
+            gbs = self.bytes[k] / sec / 1e9 if sec > 0 else 0.0
+            lines.append(
+                f"  {k:8s} count {self.counts[k]:10d}   "
+                f"bytes {self.bytes[k]:14d}   time {sec:10.6f} s   "
+                f"{gbs:8.2f} GB/s")
+        lines.append(
+            f"  {'total':8s} count {self.total_count():10d}   "
+            f"bytes {self.total_bytes():14d}   "
+            f"time {self.seconds(latency_s, per_byte_s):10.6f} s")
+        return lines
+
 
 def calibrate_overheads(mesh) -> tuple:
     """Measure (latency_s, per_byte_s) of a mesh collective by timed
     sampling — the eigen_init-time calibration the reference feeds its
     overlap auto-tuner from (src/eigen_libs0.F:774-849).
 
-    Times a tiny psum (≈ pure latency) and a 1 MiB all_gather (≈ pure
-    bandwidth) over the full grid, best-of-3 each.
+    The solver issues its collectives INSIDE one fused program, so the
+    relevant latency is the in-program per-collective cost, not the
+    per-dispatch round trip.  Each probe therefore runs a chain of
+    dependent collectives under one jit at two chain lengths and takes
+    the slope: latency from chained tiny psums, per-byte from chained
+    1 MiB all_gathers (validated against a jax.profiler trace on the
+    CPU mesh — scripts/validate_comm_model.py).
     """
+    import functools as _ft
     import time as _time
 
-    import numpy as _np
     from jax.sharding import PartitionSpec as _P
 
     if mesh is None or mesh.size <= 1:
         return 0.0, 0.0
 
+    p = mesh.size
     small = jnp.ones((8,), jnp.float32)
     nbig = 1 << 18  # 256k f32 = 1 MiB
-    big = jnp.ones((nbig,), jnp.float32)
+    ny = mesh.shape["y"]
+    big_loc = jnp.ones((max(nbig // ny, 1),), jnp.float32)
 
-    tiny_f = jax.jit(jax.shard_map(
-        lambda v: lax.psum(v, ("x", "y")), mesh=mesh,
-        in_specs=_P(), out_specs=_P(), check_vma=False))
-    gather_f = jax.jit(jax.shard_map(
-        lambda v: lax.all_gather(v, "y", tiled=True), mesh=mesh,
-        in_specs=_P(("y",)), out_specs=_P(), check_vma=False))
+    def psum_chain(v, reps: int):
+        return lax.fori_loop(
+            0, reps, lambda _, x: lax.psum(x, ("x", "y")) * (1.0 / p), v)
 
-    jax.block_until_ready(tiny_f(small))
-    jax.block_until_ready(gather_f(big))
-    t_lat = min(
-        _timed(lambda: jax.block_until_ready(tiny_f(small)), _time)
-        for _ in range(3)
-    )
-    t_bw = min(
-        _timed(lambda: jax.block_until_ready(gather_f(big)), _time)
-        for _ in range(3)
-    )
-    per_byte = max(t_bw - t_lat, 0.0) / (nbig * 4)
-    return float(t_lat), float(per_byte)
+    def noop_chain(v, reps: int):
+        # same loop structure minus the collective: its slope is the
+        # per-iteration overhead to subtract from the psum probe
+        return lax.fori_loop(0, reps, lambda _, x: x * (1.0 / p) * p, v)
+
+    def gather_chain(v, reps: int):
+        m_loc = v.shape[0]
+
+        def body(_, x):
+            g = lax.all_gather(x, "y", tiled=True)
+            start = lax.axis_index("y") * m_loc
+            return lax.dynamic_slice_in_dim(g, start, m_loc) * 1.0
+
+        return lax.fori_loop(0, reps, body, v)
+
+    def timed_fn(body, reps, v, spec_in):
+        f = jax.jit(jax.shard_map(
+            _ft.partial(body, reps=reps), mesh=mesh,
+            in_specs=spec_in, out_specs=spec_in, check_vma=False))
+        jax.block_until_ready(f(v))
+        return min(_timed(lambda: jax.block_until_ready(f(v)), _time)
+                   for _ in range(3))
+
+    r_lo, r_hi = 16, 256
+    t_lo = timed_fn(psum_chain, r_lo, small, _P())
+    t_hi = timed_fn(psum_chain, r_hi, small, _P())
+    n_lo = timed_fn(noop_chain, r_lo, small, _P())
+    n_hi = timed_fn(noop_chain, r_hi, small, _P())
+    slope = max(t_hi - t_lo, 0.0) / (r_hi - r_lo)
+    slope_noop = max(n_hi - n_lo, 0.0) / (r_hi - r_lo)
+    latency = max(slope - slope_noop, 0.25 * slope)
+
+    g_lo, g_hi = 4, 32
+    tg_lo = timed_fn(gather_chain, g_lo, big_loc, _P(("y",)))
+    tg_hi = timed_fn(gather_chain, g_hi, big_loc, _P(("y",)))
+    per_gather = max(tg_hi - tg_lo, 0.0) / (g_hi - g_lo)
+    per_byte = max(per_gather - latency, 0.0) / (big_loc.shape[0] * ny * 4)
+    return float(latency), float(per_byte)
 
 
 def _timed(fn, _time):

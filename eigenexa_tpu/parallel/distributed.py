@@ -221,10 +221,13 @@ def distributed_eigen_s(
     t0 = time.perf_counter()
     a_pad = jnp.zeros((big_n, big_n), a.dtype).at[:n, :n].set(a)
     a_pad = shard_matrix(a_pad, mesh)
-    w, z = _dist_solve(
-        a_pad, n, nvec, mode.upper(), cfg.panel_forward,
-        cfg.panel_backward, mesh
-    )
+    # TPU f32 matmuls default to bf16 MXU passes; the accuracy contract
+    # requires true-f32 accumulation (same as the single-chip facade)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        w, z = _dist_solve(
+            a_pad, n, nvec, mode.upper(), cfg.panel_forward,
+            cfg.panel_backward, mesh
+        )
     if not with_info:
         return w, z
     from eigenexa_tpu.solvers.solver import SolveInfo, flop_model
@@ -354,8 +357,9 @@ def distributed_eigen_sx(
     t0 = time.perf_counter()
     a_pad = jnp.zeros((big_n, big_n), a.dtype).at[:n, :n].set(a)
     a_pad = shard_matrix(a_pad, mesh)
-    w, z = _dist_solve_sx(a_pad, n, nvec, mode.upper(), nb,
-                          cfg.panel_backward, mesh)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        w, z = _dist_solve_sx(a_pad, n, nvec, mode.upper(), nb,
+                              cfg.panel_backward, mesh)
     if not with_info:
         return w, z
     from eigenexa_tpu.parallel.collectives import CommStats
@@ -436,6 +440,69 @@ def distributed_eigen_h(
     zi = v2[n:, 0::2]
     zr, zi, _ = newton_schulz_unitarize(zr, zi, iters=2)
     return w, ComplexPair(zr, zi)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _gev_congruence(a, vb, wb, mesh: Mesh):
+    """F = V_B·D_B^{-1/2} and A' = Fᵀ·A·F as mesh-sharded GEMMs — the two
+    pdgemm congruence products of the reference
+    (src/KMATH_EIGEN_GEV_1.F:40-115), with the w(1)≤0 positive-definite
+    check realized as NaN poisoning."""
+    spec = matrix_sharding(mesh)
+    a = jax.lax.with_sharding_constraint(a, spec)
+    vb = jax.lax.with_sharding_constraint(vb, spec)
+    pd_ok = wb[0] > 0
+    safe_wb = jnp.where(wb > 0, wb, 1.0)
+    dinv_sqrt = jnp.where(pd_ok, 1.0 / jnp.sqrt(safe_wb),
+                          jnp.nan).astype(a.dtype)
+    f = vb * dinv_sqrt[None, :]
+    f = jax.lax.with_sharding_constraint(f, spec)
+    a2 = f.T @ a @ f
+    a2 = 0.5 * (a2 + a2.T)
+    return jax.lax.with_sharding_constraint(a2, spec), f
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _gev_back(f, z2, mesh: Mesh):
+    """Z = F·Z' (the back-multiply pdgemm of KMATH_EIGEN_GEV_1.F:115)."""
+    spec = matrix_sharding(mesh)
+    z = jax.lax.with_sharding_constraint(f, spec) @ \
+        jax.lax.with_sharding_constraint(z2, spec)
+    return jax.lax.with_sharding_constraint(z, spec)
+
+
+def distributed_eigen_gev(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    nvec: Optional[int] = None,
+    mode: str = "A",
+    config: Optional[SolverConfig] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Generalized A·x = λ·B·x over a mesh — the distributed composition
+    of the reference's KMATH_EIGEN_GEV (src/KMATH_EIGEN_GEV_1.F:40-115):
+    distributed_eigen_s(B) → sharded congruence GEMMs →
+    distributed_eigen_s(A') → sharded back-multiply.  B must be s.p.d.
+    (NaN-poisoned otherwise).  Returns (w replicated, Z sharded,
+    B-orthonormal)."""
+    cfg = config or SolverConfig()
+    _check_dtype_supported(a.dtype)
+    mode = mode.upper()
+    if mode not in ("A", "N"):
+        raise ValueError(
+            f"distributed_eigen_gev supports modes 'A' and 'N'; got "
+            f"{mode!r}")
+    n = a.shape[0]
+    nvec = n if nvec is None else min(nvec, n)
+    wb, vb = distributed_eigen_s(b, mesh, config=cfg)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        a2, f = _gev_congruence(shard_matrix(a, mesh), vb, wb, mesh)
+        if mode == "N":
+            w, _ = distributed_eigen_s(a2, mesh, mode="N", config=cfg)
+            return w, None
+        w, z2 = distributed_eigen_s(a2, mesh, nvec=nvec, config=cfg)
+        z = _gev_back(f, z2, mesh)
+    return w, z
 
 
 def independent_solves(

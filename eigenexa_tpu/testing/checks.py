@@ -93,6 +93,34 @@ def eigenvalue_check(w, w_true) -> CheckResult:
     )
 
 
+def eigenvalue_check_scaled(w, w_true, caution_factor: float = 768.0
+                            ) -> CheckResult:
+    """Backward-stability-scaled eigenvalue check: max|w − w*| / (ε·‖A‖₂)
+    with ‖A‖₂ = max|w*|.
+
+    This is the f32 on-chip criterion, DISTINCT from the reference w_test
+    contract (eigenvalue_check above, benchmark/w_test.f:141-160: max of
+    rel and abs error < √ε).  The reference contract is an f64 statement —
+    at f32 the backward-stability floor ε_f32·‖A‖₂ alone exceeds √ε_f32
+    for any matrix with ‖A‖ ≳ 3, so the absolute branch is unsatisfiable
+    regardless of solver quality.  A backward-stable solve has
+    value = O(1) here (D&C typically lands at O(√n)); PASS < 768 mirrors
+    the ev_test residual constant (both are N·ε-family criteria), hard
+    FAIL > 1024.  Used by bench.py for f32 chip runs; the strict f64
+    contract still runs in tests/ and on-chip via the f64 host-D&C path.
+    """
+    import numpy as np
+
+    eps = float(jnp.finfo(jnp.asarray(w).dtype).eps)  # solve-dtype ε
+    w_s = np.sort(np.asarray(w, dtype=np.float64))
+    w_true_s = np.sort(np.asarray(w_true, dtype=np.float64))
+    anorm = float(np.max(np.abs(w_true_s)))
+    abs_err = float(np.max(np.abs(w_s - w_true_s)))
+    val = abs_err / (eps * max(anorm, 1e-300))
+    return CheckResult("eigenvalues_scaled", val, val < caution_factor,
+                       val > 1024.0)
+
+
 def gev_residual_check(a, b, z, w, nvec: Optional[int] = None
                        ) -> CheckResult:
     """‖AZ−BZW‖_F / (N·ε·‖A‖_F) — the generalized-problem residual

@@ -17,12 +17,17 @@ Usage: python scripts/bench_symv.py [n] [t0] [reps]
 """
 
 import functools
+import os
 import sys
 import time
 
 import jax
 
 jax.config.update("jax_enable_x64", True)
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 

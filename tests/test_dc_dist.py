@@ -101,3 +101,65 @@ def test_dist_tree_n2048_bitwise_three_meshes():
         np.testing.assert_allclose(np.asarray(w1), w_ref, atol=1e-11)
         resid, ortho = _check(d, e, w1, s1, n)
         assert resid < 768 and ortho < 8, (shape, resid, ortho)
+
+
+def test_chunked_top_merge_matches_unchunked():
+    """VERDICT r3 item 5: the panel-chunked top-of-tree merge
+    (secular.rank1_merge_apply — the FS_PDLAED3 DGEMM-pipeline analogue)
+    must agree with the materialized-C path to roundoff."""
+    from eigenexa_tpu.solvers.dc_dist import solve_tridiag_dist
+
+    rng = np.random.default_rng(9)
+    n = 256
+    d = jnp.asarray(rng.standard_normal(n))
+    e = jnp.asarray(rng.standard_normal(n - 1))
+    mesh = build_mesh(devices=jax.devices()[:8], shape=(4, 2))
+    w_ref, s_ref = solve_tridiag_dist(d, e, mesh, n, jnp.float64,
+                                      chunk_min=10**9)
+    w_ch, s_ch = solve_tridiag_dist(d, e, mesh, n, jnp.float64,
+                                    chunk_min=64, chunk_panel=32)
+    np.testing.assert_allclose(np.asarray(w_ch), np.asarray(w_ref),
+                               atol=1e-13, rtol=0)
+    assert float(jnp.max(jnp.abs(s_ch - s_ref))) < 1e-12
+    # double-run bitwise on the chunked path
+    w_ch2, s_ch2 = solve_tridiag_dist(d, e, mesh, n, jnp.float64,
+                                      chunk_min=64, chunk_panel=32)
+    assert np.array_equal(np.asarray(w_ch), np.asarray(w_ch2))
+    assert np.array_equal(np.asarray(s_ch), np.asarray(s_ch2))
+
+
+@pytest.mark.slow
+def test_chunked_top_merge_bounds_transient():
+    """Static accounting (XLA memory analysis) that chunking bounds the
+    per-device transient: the chunked program's temp footprint must be
+    well below the unchunked one, which materializes O(n_pad²)
+    work-dtype C matrices per device at the top level."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from eigenexa_tpu.solvers import dc_dist
+
+    n = 1024
+    rng = np.random.default_rng(10)
+    d = jnp.asarray(rng.standard_normal(n))
+    e = jnp.asarray(rng.standard_normal(n - 1))
+    mesh = build_mesh(devices=jax.devices()[:8], shape=(4, 2))
+    n_pad, _, rloc = dc_dist._tree_sizes(n, 8, 32)
+    d_mod, e_pad = dc_dist._prepare_tree(d, e, n_pad, 32, jnp.float64)
+
+    def temps(chunk_min, chunk_panel):
+        body = functools.partial(
+            dc_dist._dc_tree_shard, leaf=32, leaf_kind="eigh", n_iter=16,
+            work_dtype=jnp.float64, vec_dtype=jnp.float64,
+            px=4, py=2, rloc=rloc,
+            chunk_min=chunk_min, chunk_panel=chunk_panel)
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P()),
+            out_specs=(P(), P(("x", "y"), None)), check_vma=False))
+        return f.lower(d_mod, e_pad).compile() \
+            .memory_analysis().temp_size_in_bytes
+
+    t_unchunked = temps(10**9, 64)
+    t_chunked = temps(256, 64)
+    assert t_chunked < 0.7 * t_unchunked, (t_chunked, t_unchunked)

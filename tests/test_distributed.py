@@ -113,3 +113,136 @@ def test_distributed_eigen_s_n1024():
     r = checks.residual_check(a, z, w)
     o = checks.orthogonality_check(z)
     assert r.passed and o.passed, (r, o)
+
+
+# ---------------------------------------------------------------------------
+# distributed eigen_sx (explicit shard_map PRD pipeline)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(2, 4), (2, 2), (1, 8)])
+def test_distributed_eigen_sx_shapes(shape):
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_sx
+
+    n = 96
+    mesh = build_mesh(devices=jax.devices()[: shape[0] * shape[1]],
+                      shape=shape)
+    a = matgen.random_symmetric(n, jnp.float64)
+    cfg = SolverConfig(panel_forward=16, panel_backward=32)
+    w, z = distributed_eigen_sx(a, mesh, config=cfg)
+    r = checks.residual_check(a, z, w)
+    o = checks.orthogonality_check(z)
+    assert r.passed and o.passed, (shape, r, o)
+    w_ref = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-9, rtol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ["N", "S", "C"])
+def test_distributed_eigen_sx_modes(mode):
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_sx
+
+    n = 64
+    mesh = build_mesh(devices=jax.devices()[:4], shape=(2, 2))
+    a = matgen.random_symmetric(n, jnp.float64)
+    cfg = SolverConfig(panel_forward=16, panel_backward=32)
+    w, z = distributed_eigen_sx(a, mesh, mode=mode, config=cfg)
+    if mode == "N":
+        assert z is None
+        w_ref = np.linalg.eigvalsh(np.asarray(a))
+        np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-8)
+        return
+    if mode == "S":
+        assert checks.orthogonality_check(z).passed
+    if mode == "C":
+        np.testing.assert_array_equal(np.asarray(z), np.eye(n))
+
+
+def test_distributed_eigen_sx_bitwise():
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_sx
+
+    n = 48
+    mesh = build_mesh(devices=jax.devices()[:4], shape=(2, 2))
+    a = matgen.random_symmetric(n, jnp.float64)
+    cfg = SolverConfig(panel_forward=16, panel_backward=32)
+    w1, z1 = distributed_eigen_sx(a, mesh, config=cfg)
+    w2, z2 = distributed_eigen_sx(a, mesh, config=cfg)
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+    assert np.array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_distributed_eigen_gev():
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_gev
+
+    n = 96
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((n, n))
+    a = jnp.asarray((a + a.T) / 2)
+    f = rng.standard_normal((n, n)) / np.sqrt(n)
+    b = jnp.asarray(f @ f.T + np.eye(n))
+    mesh = build_mesh(devices=jax.devices()[:8], shape=(2, 4))
+    cfg = SolverConfig(panel_forward=16, panel_backward=32)
+    w, z = distributed_eigen_gev(a, b, mesh, config=cfg)
+    r = checks.gev_residual_check(a, b, z, w)
+    bo = checks.b_orthogonality_check(z, b)
+    assert r.passed and bo.passed, (r, bo)
+    # mode N agrees with scipy
+    w_n, z_n = distributed_eigen_gev(a, b, mesh, mode="N", config=cfg)
+    assert z_n is None
+    import scipy.linalg
+
+    w_ref = scipy.linalg.eigh(np.asarray(a), np.asarray(b),
+                              eigvals_only=True)
+    np.testing.assert_allclose(np.sort(np.asarray(w_n)), w_ref, atol=1e-9)
+
+
+def test_distributed_gev_not_pd_poisons():
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_gev
+
+    n = 32
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal((n, n))
+    a = jnp.asarray((a + a.T) / 2)
+    b = jnp.asarray(-np.eye(n))  # negative definite -> poison
+    mesh = build_mesh(devices=jax.devices()[:4], shape=(2, 2))
+    cfg = SolverConfig(panel_forward=16, panel_backward=32)
+    w, z = distributed_eigen_gev(a, b, mesh, config=cfg)
+    assert np.isnan(np.asarray(w)).all()
+
+
+@pytest.mark.slow
+def test_distributed_eigen_sx_n1024():
+    """VERDICT r3 item 10: distributed eigen_sx at four-digit n vs scipy
+    eigenvalues + the reference 768/8 thresholds, two mesh shapes."""
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_sx
+
+    n = 1024
+    a = matgen.random_symmetric(n, jnp.float64)
+    w_ref = np.linalg.eigvalsh(np.asarray(a))
+    for shape in [(2, 4), (4, 2)]:
+        mesh = build_mesh(devices=jax.devices()[:8], shape=shape)
+        cfg = SolverConfig(panel_forward=32, panel_backward=64)
+        w, z = distributed_eigen_sx(a, mesh, config=cfg)
+        r = checks.residual_check(a, z, w)
+        o = checks.orthogonality_check(z)
+        assert r.passed and o.passed, (shape, r, o)
+        np.testing.assert_allclose(np.sort(np.asarray(w)), w_ref,
+                                   atol=1e-8, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_distributed_eigen_h_n1024():
+    """VERDICT r3 item 10: distributed eigen_h at four-digit n vs numpy
+    eigenvalues + thresholds (complex path on the CPU mesh)."""
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_h
+
+    n = 1024
+    rng = np.random.default_rng(7)
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = jnp.asarray((h + h.conj().T) / 2)
+    mesh = build_mesh(devices=jax.devices()[:8], shape=(2, 4))
+    cfg = SolverConfig(panel_forward=32, panel_backward=64)
+    w, z = distributed_eigen_h(a, mesh, config=cfg)
+    r = checks.residual_check(a, z, w)
+    o = checks.orthogonality_check(z)
+    assert r.passed and o.passed, (r, o)
+    w_ref = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(np.sort(np.asarray(w)), w_ref, atol=1e-8)
