@@ -348,6 +348,20 @@ def rank1_merge_apply(d, z, rho, q_rows, aux_rows, row_off, s_rows: int,
     aux_rows: (ra, s_rows) auxiliary rows (boundary rows, working dtype);
     row_off: the (possibly traced) first unsorted C-row this caller owns.
     """
+    lam, (q_new, aux_new) = rank1_merge_apply_parts(
+        d, z, rho, ((q_rows, row_off), (aux_rows, row_off)),
+        n_iter=n_iter, work_dtype=work_dtype, panel=panel)
+    return lam, q_new, aux_new
+
+
+def rank1_merge_apply_parts(d, z, rho, parts, n_iter: int = 40,
+                            work_dtype=None, panel: int = 1024):
+    """General form of :func:`rank1_merge_apply`: each part is a
+    (rows_matrix (r_i, s_i), row_off_i) pair multiplied by ITS OWN
+    unsorted-row slice of C — the shape the merge tree needs, where the
+    left block's rows hit C[:s] and the right block's rows hit C[s:]
+    (block-diagonal basis application, dlaed3 shape).  Returns
+    (lam (m,), tuple of (r_i, m) products, each in its input dtype)."""
     wdt = work_dtype or default_work_dtype()
     m = d.shape[0]
     d = d.astype(wdt)
@@ -355,7 +369,6 @@ def rank1_merge_apply(d, z, rho, q_rows, aux_rows, row_off, s_rows: int,
     rho = rho.astype(wdt) if hasattr(rho, "astype") else jnp.asarray(
         rho, wdt)
     eps = jnp.finfo(wdt).eps
-    vdt = q_rows.dtype
 
     panel_eff = min(m, panel)
     while m % panel_eff:
@@ -408,10 +421,11 @@ def rank1_merge_apply(d, z, rho, q_rows, aux_rows, row_off, s_rows: int,
     zh = jnp.where(active, z_sign * jnp.sqrt(z2h), 0.0)
 
     # ---- pass 2: final-column panels, GEMMed immediately ----
-    row_ids = lax.dynamic_slice(inv_perm, (row_off,), (s_rows,))
+    row_ids_all = tuple(
+        lax.dynamic_slice(inv_perm, (off,), (mat.shape[1],))
+        for mat, off in parts)
 
     def col_panel(carry, pk):
-        q_new, aux_new = carry
         rid = lax.dynamic_slice(order, (pk,), (panel_eff,))
         sh = shift_all[rid]
         muv = mu_all[rid]
@@ -425,14 +439,15 @@ def rank1_merge_apply(d, z, rho, q_rows, aux_rows, row_off, s_rows: int,
         eye_pan = (idx[:, None] == rid[None, :]).astype(wdt)
         u = jnp.where(act_c[None, :], u, eye_pan)
         u = apply_run_rotation(u, u_hat, leaders)
-        c_rows = u[row_ids, :]                    # (s_rows, panel)
-        q_new = lax.dynamic_update_slice(
-            q_new, q_rows @ c_rows.astype(vdt), (jnp.int32(0), pk))
-        aux_new = lax.dynamic_update_slice(
-            aux_new, aux_rows @ c_rows, (jnp.int32(0), pk))
-        return (q_new, aux_new), None
+        out = []
+        for (mat, _off), row_ids, acc in zip(parts, row_ids_all, carry):
+            c_rows = u[row_ids, :]                # (s_i, panel)
+            prod = mat @ c_rows.astype(mat.dtype)
+            out.append(lax.dynamic_update_slice(
+                acc, prod, (jnp.int32(0), pk)))
+        return tuple(out), None
 
-    q0 = jnp.zeros((q_rows.shape[0], m), vdt)
-    a0 = jnp.zeros((aux_rows.shape[0], m), wdt)
-    (q_new, aux_new), _ = lax.scan(col_panel, (q0, a0), pks)
-    return lam[order], q_new, aux_new
+    init = tuple(jnp.zeros((mat.shape[0], m), mat.dtype)
+                 for mat, _off in parts)
+    outs, _ = lax.scan(col_panel, init, pks)
+    return lam[order], outs

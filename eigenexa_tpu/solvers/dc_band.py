@@ -127,24 +127,34 @@ def solve_band2_dc(
 
     impl: 'jax' (fully jitted two-merge tree, ONE XLA program — default on
     CPU and for f32 vectors, mirroring dc_tree.solve_tridiag_dc's
-    dispatch) or 'host' (numpy secular core + device GEMM cascades — the
-    TPU-f64 path)."""
+    dispatch), 'level' (eager per-level dispatch with panel-chunked top
+    merges — the large-n TPU path, auto above dc_tree.FUSED_TREE_MAX_N;
+    NOT traceable) or 'host' (numpy secular core + device GEMM cascades —
+    the TPU-f64 path)."""
+    from eigenexa_tpu.solvers.dc_tree import FUSED_TREE_MAX_N
+
     vec_dtype = vec_dtype or d.dtype
     on_cpu = jax.default_backend() == "cpu"
     f32_vecs = jnp.dtype(vec_dtype) == jnp.dtype(jnp.float32)
+    n = d.shape[0]
     if impl is None:
-        impl = "jax" if (on_cpu or f32_vecs) else "host"
-    if impl == "jax":
+        if on_cpu or f32_vecs:
+            impl = ("level" if (not on_cpu and n > FUSED_TREE_MAX_N)
+                    else "jax")
+        else:
+            impl = "host"
+    if impl in ("jax", "level"):
         if work_dtype is None:
             work_dtype = (jnp.dtype(jnp.float32)
                           if (not on_cpu and f32_vecs)
                           else jax.dtypes.canonicalize_dtype(np.float64))
         work_dtype = jnp.dtype(work_dtype)
-        n = d.shape[0]
         if n == 1:
             return d.astype(work_dtype), jnp.ones((1, 1), vec_dtype)
         leaf = max(4, min(leaf, n))
-        return _solve_band2_fused(
+        solve = (_solve_band2_level if impl == "level"
+                 else _solve_band2_fused)
+        return solve(
             jnp.asarray(d), jnp.asarray(e1), jnp.asarray(e2),
             leaf=leaf, vec_dtype=jnp.dtype(vec_dtype),
             n_iter=min(n_iter, 16) if work_dtype == jnp.dtype(
@@ -292,6 +302,50 @@ def _leaf_eigh_band2_jax(db, e1b, e2b, wdt):
     return jnp.linalg.eigh(t)
 
 
+def _merge_level_band2_chunked(w, q, rows_lo, rows_hi, a, b, c, f, h,
+                               vec_dtype, n_iter, work_dtype, panel: int):
+    """_merge_level_band2 with both rank-1 merges built in column panels
+    (secular.rank1_merge_apply_parts): the (2s)² C matrices of the two
+    merges are never materialized — per-merge transient O(2s·panel).
+    Used by the per-level orchestration at the top of very large trees
+    (the band-2 twin of dc_tree._merge_level_chunked)."""
+    from eigenexa_tpu.ops.secular import rank1_merge_apply_parts
+
+    wdt = work_dtype
+    bsz, s = w.shape
+    d2 = w.reshape(bsz // 2, 2, s)
+    q2 = q.reshape(bsz // 2, 2, s, s)
+    rl = rows_lo.reshape(bsz // 2, 2, 2, s)
+    rh = rows_hi.reshape(bsz // 2, 2, 2, s)
+    one = jnp.ones((), wdt)
+
+    def merge_one(dpair, qpair, rlp, rhp, ab, bb, cb, fb, hb):
+        dm = jnp.concatenate([dpair[0], dpair[1]]).astype(wdt)
+        z1 = jnp.concatenate([ab * rhp[0, 0] + bb * rhp[0, 1],
+                              cb * rlp[1, 0]])
+        lam1, (top1, bot1, lo1, hi1, pm1, pp1) = rank1_merge_apply_parts(
+            dm, z1, one,
+            parts=((qpair[0], 0), (qpair[1], s),
+                   (rlp[0], 0), (rhp[1], s),
+                   (rhp[0, 1][None, :], 0), (rlp[1, 1][None, :], s)),
+            n_iter=n_iter, work_dtype=wdt, panel=panel)
+        q1 = jnp.concatenate([top1, bot1], axis=0)      # (2s, 2s) vec
+        z2 = fb * pm1[0] + hb * pp1[0]
+        lam2, (qn, lo2, hi2) = rank1_merge_apply_parts(
+            lam1, z2, one,
+            parts=((q1, 0), (lo1, 0), (hi1, 0)),
+            n_iter=n_iter, work_dtype=wdt, panel=panel)
+        return lam2, qn, lo2, hi2
+
+    return jax.vmap(merge_one)(d2, q2, rl, rh, a, b, c, f, h)
+
+
+_merge_level_band2_chunked_jit = functools.partial(
+    jax.jit,
+    static_argnames=("vec_dtype", "n_iter", "work_dtype", "panel"),
+)(_merge_level_band2_chunked)
+
+
 def _merge_level_band2(w, q, rows_lo, rows_hi, a, b, c, f, h,
                        vec_dtype, n_iter, work_dtype):
     """One level: join pairs with TWO rank-1 merges (HBW=2 structure,
@@ -335,6 +389,93 @@ def _merge_level_band2(w, q, rows_lo, rows_hi, a, b, c, f, h,
                 lo1 @ c2, hi1 @ c2)
 
     return jax.vmap(merge_one)(d2, q2, rl, rh, a, b, c, f, h)
+
+
+_merge_level_band2_jit = functools.partial(
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype")
+)(_merge_level_band2)
+
+# per-level orchestration thresholds (the band-2 twins of
+# dc_tree._LEVEL_CHUNK_MIN / _LEVEL_CHUNK_PANEL)
+_LEVEL_CHUNK_MIN = 16384
+_LEVEL_CHUNK_PANEL = 1024
+
+
+def _solve_band2_level(d, e1, e2, *, leaf: int, vec_dtype, n_iter: int,
+                       work_dtype):
+    """Eager per-LEVEL orchestration of the band-2 two-merge tree — one
+    jitted program per level (the reference's eager level loop,
+    my_pdlaed0.F / FS_PDLAED0.F90:197-246), with panel-chunked merges at
+    the top.  The large-n TPU path for eigen_sx; NOT traceable.
+    """
+    wdt = work_dtype
+    d_h = np.asarray(d, np.float64)
+    e1_h = np.asarray(e1, np.float64)
+    e2_h = np.asarray(e2, np.float64)
+    n = d_h.shape[0]
+    if not (np.isfinite(d_h).all() and np.isfinite(e1_h).all()
+            and np.isfinite(e2_h).all()):
+        return (jnp.full((n,), jnp.nan, wdt),
+                jnp.full((n, n), jnp.nan, vec_dtype))
+    leaf = max(4, min(leaf, n))
+    m, levels = _pad_sizes(n, leaf)
+
+    span = np.abs(d_h).max() + (np.abs(e1_h).max() if n > 1 else 0.0) \
+        + (np.abs(e2_h).max() if n > 2 else 0.0)
+    base = max(span, 1e-30)
+    d_pad = np.concatenate([d_h, 2.0 * base
+                            + (base / m) * np.arange(m - n)])
+    e1_pad = np.concatenate([e1_h, np.zeros(m - n + 1)])
+    e2_pad = np.concatenate([e2_h, np.zeros(m - n + 2)])
+    cuts = np.arange(leaf, m, leaf)
+    a_all, b_all, c_all, f_all, h_all = _cut_vectors(e1_pad, e2_pad, cuts)
+    d_mod = d_pad.copy()
+    e1_mod = e1_pad.copy()
+    d_mod[cuts - 2] -= a_all * a_all
+    d_mod[cuts - 1] -= b_all * b_all + f_all * f_all
+    d_mod[cuts] -= c_all * c_all
+    d_mod[cuts + 1] -= h_all * h_all
+    e1_mod[cuts - 2] -= a_all * b_all
+
+    nblk = m // leaf
+    np_wdt = np.dtype(wdt)
+    d_blocks = jnp.asarray(d_mod.reshape(nblk, leaf).astype(np_wdt))
+    i1 = (np.arange(nblk)[:, None] * leaf
+          + np.arange(leaf - 1)[None, :]).reshape(-1)
+    e1_blocks = jnp.asarray(
+        e1_mod[i1].reshape(nblk, leaf - 1).astype(np_wdt))
+    i2 = (np.arange(nblk)[:, None] * leaf
+          + np.arange(leaf - 2)[None, :]).reshape(-1)
+    e2_blocks = jnp.asarray(
+        e2_pad[i2].reshape(nblk, leaf - 2).astype(np_wdt))
+    w, q = jax.jit(_leaf_eigh_band2_jax, static_argnames=("wdt",))(
+        d_blocks, e1_blocks, e2_blocks, wdt=jnp.dtype(wdt))
+    rows_lo = q[:, :2, :].astype(wdt)
+    rows_hi = q[:, -2:, :].astype(wdt)
+    q = q.astype(vec_dtype)
+
+    for lvl in range(levels):
+        s = leaf * (2 ** lvl)
+        ci = (np.arange(s, m, 2 * s) // leaf) - 1
+        coefs = [jnp.asarray(arr[ci].astype(np_wdt))
+                 for arr in (a_all, b_all, c_all, f_all, h_all)]
+        if 2 * s >= _LEVEL_CHUNK_MIN:
+            w, q, rows_lo, rows_hi = _merge_level_band2_chunked_jit(
+                w, q, rows_lo, rows_hi, *coefs,
+                vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+                work_dtype=jnp.dtype(wdt), panel=_LEVEL_CHUNK_PANEL)
+        else:
+            w, q, rows_lo, rows_hi = _merge_level_band2_jit(
+                w, q, rows_lo, rows_hi, *coefs,
+                vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+                work_dtype=jnp.dtype(wdt))
+        bsz = w.shape[0]
+        rows_lo = rows_lo.reshape(bsz, 2, 2 * s)
+        rows_hi = rows_hi.reshape(bsz, 2, 2 * s)
+
+    w = w.reshape(m)
+    q = q.reshape(m, m)
+    return w[:n], q[:n, :n]
 
 
 @functools.partial(

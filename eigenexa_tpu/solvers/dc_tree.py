@@ -178,6 +178,46 @@ _merge_level_jit = functools.partial(
 )(_merge_level)
 
 
+def _merge_level_chunked(d, q, row0, row1, rho, sgn, vec_dtype, n_iter,
+                         work_dtype, panel: int):
+    """_merge_level with the C transform built in column panels
+    (secular.rank1_merge_apply_parts) — per-merge transient O(2s·panel)
+    instead of O((2s)²).  Used by the per-level orchestration at the top
+    of very large trees (n ≥ 16k), where the materialized C (plus its
+    secular intermediates) would pressure HBM."""
+    wdt = work_dtype or d.dtype
+    bsz, s = d.shape
+    d2 = d.reshape(bsz // 2, 2, s)
+    q2 = q.reshape(bsz // 2, 2, s, s)
+    r0 = row0.reshape(bsz // 2, 2, s)
+    r1 = row1.reshape(bsz // 2, 2, s)
+
+    def merge_one(dpair, qpair, r0p, r1p, rho_b, sgn_b):
+        from eigenexa_tpu.ops.secular import rank1_merge_apply_parts
+
+        dm = jnp.concatenate([dpair[0], dpair[1]]).astype(wdt)
+        z = jnp.concatenate([r1p[0], sgn_b * r0p[1]])
+        lam, (top, bot, r0n, r1n) = rank1_merge_apply_parts(
+            dm, z, rho_b,
+            parts=((qpair[0], 0), (qpair[1], s),
+                   (r0p[0][None, :], 0), (r1p[1][None, :], s)),
+            n_iter=n_iter, work_dtype=wdt, panel=panel)
+        return lam, jnp.concatenate([top, bot], axis=0), r0n[0], r1n[0]
+
+    return jax.vmap(merge_one)(d2, q2, r0, r1, rho, sgn)
+
+
+_merge_level_chunked_jit = functools.partial(
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype", "panel")
+)(_merge_level_chunked)
+
+# per-level orchestration: merges at least this wide build C in column
+# panels (the single-chip twin of dc_dist._CHUNK_MIN_WIDTH; 16384 keeps
+# the n=8192 fused path's behavior unchanged)
+_LEVEL_CHUNK_MIN = 16384
+_LEVEL_CHUNK_PANEL = 1024
+
+
 def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
     """Eager host-orchestrated tree: numpy secular merges (true f64, zero
     device-compile cost) + jitted batched GEMM cascade on the device.
@@ -309,10 +349,16 @@ def _solve_tridiag_level(d, e, leaf: int, vec_dtype, n_iter: int,
         rho = jnp.asarray(np.abs(e_pad[cut_pos - 1]).astype(np_wdt))
         sgn = jnp.asarray(
             np.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0).astype(np_wdt))
-        w, q, row0, row1 = _merge_level_jit(
-            w, q, row0, row1, rho, sgn,
-            vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
-            work_dtype=jnp.dtype(wdt))
+        if 2 * s >= _LEVEL_CHUNK_MIN:
+            w, q, row0, row1 = _merge_level_chunked_jit(
+                w, q, row0, row1, rho, sgn,
+                vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+                work_dtype=jnp.dtype(wdt), panel=_LEVEL_CHUNK_PANEL)
+        else:
+            w, q, row0, row1 = _merge_level_jit(
+                w, q, row0, row1, rho, sgn,
+                vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+                work_dtype=jnp.dtype(wdt))
 
     w = w.reshape(m)
     q = q.reshape(m, m)

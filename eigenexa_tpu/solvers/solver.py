@@ -247,14 +247,22 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     timer+GFLOPS lines of src/eigen_s.F:180-276 and eigen_sx.F).  Slower
     than the fused path (per-stage dispatch + no cross-stage fusion) —
     profiling opt-in only.
+
+    Stage timing is recorded through utils.profiler.Profiler (the
+    FS_prof analogue) — one timing mechanism serves the test suite and
+    the drivers.
     """
+    from eigenexa_tpu.utils.profiler import Profiler
     from eigenexa_tpu.utils.sync import device_sync
 
     n = a.shape[0]
+    prof = Profiler(enabled=True, sync=False)
 
     def _mark(name, t0, flops, *sync_on):
         device_sync(*[s for s in sync_on if s is not None])
-        stages[name] = {"seconds": time.perf_counter() - t0, "flops": flops}
+        prof.add(name, time.perf_counter() - t0, flops)
+        stages[name] = {"seconds": prof.times[name],
+                        "flops": prof.flops.get(name, 0.0)}
 
     t0 = time.perf_counter()
     a_s, sigma = jax.jit(matrix_scaling)(a)

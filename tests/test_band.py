@@ -177,3 +177,30 @@ def test_band2_dc_impl_equivalence():
         assert np.linalg.norm(t @ sn - sn * np.asarray(w)[None, :]) \
             < 1e-11 * n, impl
         assert np.linalg.norm(sn.T @ sn - np.eye(n)) < 1e-12 * n, impl
+
+
+def test_band2_level_impl_matches_fused():
+    """The eager per-level band-2 orchestration (impl='level', the
+    large-n TPU path) and its panel-chunked top merges must reproduce the
+    fused two-merge tree."""
+    from eigenexa_tpu.solvers import dc_band
+
+    rng = np.random.default_rng(14)
+    n = 200
+    d = jnp.asarray(rng.standard_normal(n))
+    e1 = jnp.asarray(rng.standard_normal(n - 1))
+    e2 = jnp.asarray(rng.standard_normal(n - 2))
+    w_ref, s_ref = dc_band.solve_band2_dc(d, e1, e2, impl="jax")
+    w_lvl, s_lvl = dc_band.solve_band2_dc(d, e1, e2, impl="level")
+    np.testing.assert_allclose(np.asarray(w_lvl), np.asarray(w_ref),
+                               atol=1e-13, rtol=0)
+    old_min, old_pan = dc_band._LEVEL_CHUNK_MIN, dc_band._LEVEL_CHUNK_PANEL
+    try:
+        dc_band._LEVEL_CHUNK_MIN, dc_band._LEVEL_CHUNK_PANEL = 64, 32
+        w_ch, s_ch = dc_band.solve_band2_dc(d, e1, e2, impl="level")
+    finally:
+        dc_band._LEVEL_CHUNK_MIN = old_min
+        dc_band._LEVEL_CHUNK_PANEL = old_pan
+    np.testing.assert_allclose(np.asarray(w_ch), np.asarray(w_ref),
+                               atol=1e-13, rtol=0)
+    assert float(jnp.max(jnp.abs(jnp.abs(s_ch) - jnp.abs(s_ref)))) < 1e-12

@@ -150,3 +150,30 @@ def test_host_impl_nan_poisons_not_raises():
     w, q = solve_tridiag_dc(d, e, impl="host")
     assert bool(jnp.isnan(w).all())
     assert q.shape == (4, 4)
+
+
+def test_level_impl_matches_fused_and_chunked():
+    """The eager per-level orchestration (impl='level', the large-n TPU
+    path — one jitted program per merge level like FS_PDLAED0's level
+    loop) must reproduce the fused tree, including when its top levels
+    take the panel-chunked merge (secular.rank1_merge_apply_parts)."""
+    from eigenexa_tpu.solvers import dc_tree
+
+    rng = np.random.default_rng(12)
+    d = jnp.asarray(rng.standard_normal(300))
+    e = jnp.asarray(rng.standard_normal(299))
+    w_ref, s_ref = dc_tree.solve_tridiag_dc(d, e, impl="jax")
+    w_lvl, s_lvl = dc_tree.solve_tridiag_dc(d, e, impl="level")
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_lvl))
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_lvl))
+
+    old_min, old_pan = dc_tree._LEVEL_CHUNK_MIN, dc_tree._LEVEL_CHUNK_PANEL
+    try:
+        dc_tree._LEVEL_CHUNK_MIN, dc_tree._LEVEL_CHUNK_PANEL = 128, 32
+        w_ch, s_ch = dc_tree.solve_tridiag_dc(d, e, impl="level")
+    finally:
+        dc_tree._LEVEL_CHUNK_MIN = old_min
+        dc_tree._LEVEL_CHUNK_PANEL = old_pan
+    np.testing.assert_allclose(np.asarray(w_ch), np.asarray(w_ref),
+                               atol=1e-13, rtol=0)
+    assert float(jnp.max(jnp.abs(s_ch - s_ref))) < 1e-12
