@@ -199,7 +199,7 @@ def _round_up(x: int, m: int) -> int:
 # windowed (no-roll) reduction — the TPU/f32 fast path
 # ---------------------------------------------------------------------------
 
-_WIN_TM = 256  # must match pallas_kernels._SYMV_TM
+from eigenexa_tpu.ops.pallas_kernels import _SYMV_TM as _WIN_TM  # one knob
 
 
 def _panel_win(b, j0, t0: int, nb: int, interpret: bool):

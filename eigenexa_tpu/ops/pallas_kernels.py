@@ -177,7 +177,12 @@ def sub_matmul(b, p, q, interpret: bool = False):
 # symmetric matvec on the lower triangle (TRD panel symv)
 # ---------------------------------------------------------------------------
 
-_SYMV_TM = 256  # symv tile edge (2 MXU tiles; 256 KB/tile in f32)
+# symv/window tile edge.  256 = 2 MXU tiles, 256 KB/tile in f32; the
+# kernel is bounded by per-program overhead (~1 µs on v5e), so larger
+# tiles amortize it at the cost of coarser window granularity.  Env
+# override EIGENEXA_WIN_TM for A/B benchmarking (must divide the padded
+# problem size; ops/householder._WIN_TM aliases this value).
+_SYMV_TM = int(os.environ.get("EIGENEXA_WIN_TM", "256"))
 
 
 def _symv_decode(r, c, nw):

@@ -61,6 +61,18 @@ def devices():
     return jax.devices()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_between_modules():
+    """XLA:CPU intermittently aborts/segfaults late in long suite runs
+    (observed in backend_compile and executable.serialize) once hundreds
+    of compiled executables are live in one process.  Dropping the
+    compiled-program caches between modules bounds that accumulation;
+    within a module (where programs are reused across tests) caching is
+    untouched."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def _hermetic_default_context():
     """eigen_init() installs a process-global default EigenContext; a test
