@@ -217,7 +217,8 @@ def _pair_win(b, j0, t0: int, nb: int, interpret: bool):
     return lax.fori_loop(0, nb // 2, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"),
+                   donate_argnums=(0,))
 def _band2_windowed(a: jnp.ndarray, nb: int, group: int,
                     interpret: bool) -> BandResult:
     """No-roll PRD: one fixed (n_pad, n_pad) working buffer, lower-triangle

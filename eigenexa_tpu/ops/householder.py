@@ -247,7 +247,8 @@ def _panel_win(b, j0, t0: int, nb: int, interpret: bool):
     return lax.fori_loop(0, nb, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"),
+                   donate_argnums=(0,))
 def _tridiagonalize_windowed(a: jnp.ndarray, nb: int, group: int,
                              interpret: bool) -> TridiagResult:
     """No-roll reduction: ONE fixed (n_pad, n_pad) working buffer for the
@@ -372,6 +373,12 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64,
     Q = H_0·H_1·…·H_{n-3}; reflector k is stored in column k of the
     returned v (global indexing).  Driver analogue: src/eigen_trd.F:82
     (real) / src/eigen_hrd.F:1 (complex).
+
+    NOTE: the windowed implementation DONATES the input buffer (its
+    working matrix aliases `a`, reference in-place analogue:
+    eigen_trd.F:349) — on TPU the caller must not reuse `a` after a
+    windowed call.  The solver facade always passes the scaled temporary
+    a_s, so driver users are unaffected.
 
     The whole loop is traced into one XLA program (the
     `_tridiagonalize_fused` jit below): an eager loop would dispatch ~6

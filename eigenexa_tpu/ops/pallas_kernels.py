@@ -177,12 +177,15 @@ def sub_matmul(b, p, q, interpret: bool = False):
 # symmetric matvec on the lower triangle (TRD panel symv)
 # ---------------------------------------------------------------------------
 
-# symv/window tile edge.  256 = 2 MXU tiles, 256 KB/tile in f32; the
-# kernel is bounded by per-program overhead (~1 µs on v5e), so larger
-# tiles amortize it at the cost of coarser window granularity.  Env
-# override EIGENEXA_WIN_TM for A/B benchmarking (must divide the padded
-# problem size; ops/householder._WIN_TM aliases this value).
-_SYMV_TM = int(os.environ.get("EIGENEXA_WIN_TM", "256"))
+# symv/window tile edge.  The kernel is bounded by per-program overhead
+# (~1 µs on v5e), so larger tiles amortize it at the cost of coarser
+# window granularity.  Measured on v5e at n=8192 (scripts/bench_symv.py,
+# in-program chained): tm=256 → 274 GB/s triangle rate; tm=512 →
+# 366 GB/s, at which point the single-vector symv beats XLA's full-read
+# matvec 1.25× per column and the two-vector pair pass 2.5×.  Env
+# override EIGENEXA_WIN_TM for A/B (must divide the padded problem
+# size; ops/householder._WIN_TM aliases this value).
+_SYMV_TM = int(os.environ.get("EIGENEXA_WIN_TM", "512"))
 
 
 def _symv_decode(r, c, nw):

@@ -33,7 +33,8 @@ with jax.default_matmul_precision("highest"):
     # warmup + timed, per stage
     for it in range(2):
         t0 = time.perf_counter()
-        trd = tridiagonalize(a, nb=64)
+        # pass a fresh copy: the windowed path DONATES its input buffer
+        trd = tridiagonalize(a + 0.0, nb=64)
         device_sync(trd)
         t_trd = time.perf_counter() - t0
 
