@@ -88,7 +88,7 @@ def run_case(case: BenchCase, ctx=None, dtype=None, w_file=None,
     elif case.solver == 2:
         solver_fn, solver_name = ex.eigen_h, "eigen_h"
     elif case.solver == 3:
-        return _run_gev_case(case, a, ctx, dtype, printer)
+        return _run_gev_case(case, a, ctx, dtype, printer, mesh=mesh)
     else:
         solver_fn, solver_name = ex.eigen_s, "eigen_s"
 
@@ -292,7 +292,8 @@ def run_independent(case: BenchCase, k: int, mesh, dtype=None,
     return report
 
 
-def _run_gev_case(case: BenchCase, a, ctx, dtype, printer) -> dict:
+def _run_gev_case(case: BenchCase, a, ctx, dtype, printer,
+                  mesh=None) -> dict:
     """Generalized-problem benchmark line (solver=3): A from `matrix`,
     B positive-definite with a designed spectrum in [1, 2] — mirroring the
     reference GEV benchmark's random-A / W.dat-spectrum-B setup
@@ -317,7 +318,24 @@ def _run_gev_case(case: BenchCase, a, ctx, dtype, printer) -> dict:
                     f"has no mode argument)")
         mode = "A"
     b = designed(_jnp.linspace(1.0, 2.0, case.n), dtype=dtype)
-    w, z, info = eigen_gev(a, b, nvec=case.nvec, mode=mode, ctx=ctx)
+    if mesh is not None and mesh.size > 1:
+        # distributed GEV over the explicit mesh (-x dimX dimY analogue)
+        import time as _t
+
+        from eigenexa_tpu.parallel.distributed import distributed_eigen_gev
+        from eigenexa_tpu.runtime import SolverConfig as _SC
+        from eigenexa_tpu.solvers.solver import SolveInfo as _SI
+
+        t0 = _t.perf_counter()
+        w, z = distributed_eigen_gev(
+            a, b, mesh, nvec=case.nvec, mode=mode,
+            config=_SC(panel_forward=case.bx, panel_backward=case.by))
+        jax.block_until_ready(z if z is not None else w)
+        info = _SI(flops=3.0 * (4.0 / 3.0 + 2.0) * case.n ** 3,
+                   elapsed=_t.perf_counter() - t0, n=case.n,
+                   nvec=case.nvec, mode=mode)
+    else:
+        w, z, info = eigen_gev(a, b, nvec=case.nvec, mode=mode, ctx=ctx)
     if mode == "N":
         report = {
             "n": case.n, "nvec": 0, "mode": "N",

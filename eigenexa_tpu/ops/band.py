@@ -303,7 +303,8 @@ def _band2_windowed(a: jnp.ndarray, nb: int, group: int,
 
 
 def band2_reduce(a: jnp.ndarray, nb: int = 64,
-                 bucket: int = 0, impl: str = "auto") -> BandResult:
+                 bucket: int = 0, impl: str = "auto",
+                 donate: bool = False) -> BandResult:
     """Reduce symmetric/Hermitian A (n x n) to real pentadiagonal
     P = Q^H A Q (driver analogue: src/eigen_prd.F:80 -> _stub:159 ->
     _body:341).
@@ -324,6 +325,10 @@ def band2_reduce(a: jnp.ndarray, nb: int = 64,
     if impl == "windowed":
         tm = hh._WIN_TM
         group = _round_up(max(4 * nb, _round_up(n, tm) // 8), tm)
+        if not donate:
+            # windowed jit donates its input; public default stays
+            # non-destructive (see ops/householder.tridiagonalize)
+            a = a + jnp.zeros((), a.dtype)
         return _band2_windowed(
             a, nb, group, interpret=jax.default_backend() != "tpu")
     if bucket <= 0:

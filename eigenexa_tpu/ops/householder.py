@@ -367,7 +367,8 @@ def _windowed_eligible(a, n: int) -> bool:
 
 
 def tridiagonalize(a: jnp.ndarray, nb: int = 64,
-                   bucket: int = 0, impl: str = "auto") -> TridiagResult:
+                   bucket: int = 0, impl: str = "auto",
+                   donate: bool = False) -> TridiagResult:
     """Reduce symmetric/Hermitian A (n×n) to real tridiagonal T = Qᴴ A Q.
 
     Q = H_0·H_1·…·H_{n-3}; reflector k is stored in column k of the
@@ -399,6 +400,13 @@ def tridiagonalize(a: jnp.ndarray, nb: int = 64,
         impl = "windowed" if _windowed_eligible(a, n) else "rolled"
     if impl == "windowed":
         group = _round_up(max(4 * nb, _round_up(n, _WIN_TM) // 8), _WIN_TM)
+        if not donate:
+            # the windowed jit donates its input (working buffer aliases
+            # it); keep the public default non-destructive via a copy —
+            # same peak as the pre-donation behavior, while donate=True
+            # callers (the solver's large-n staged path, which passes the
+            # scaled temporary) save one n² buffer
+            a = a + jnp.zeros((), a.dtype)
         return _tridiagonalize_windowed(
             a, nb, group, interpret=jax.default_backend() != "tpu")
     if bucket <= 0:

@@ -168,7 +168,7 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     if band == 2:
         return _solve_core_band2(a_s, sigma, nvec, mode, nb_f, nb_b,
                                  dc_leaf)
-    trd = tridiagonalize(a_s, nb=nb_f)
+    trd = tridiagonalize(a_s, nb=nb_f, donate=True)
 
     if mode == "N":
         # eigenvalues only: Sturm bisection — no eigenvector work at all
@@ -210,7 +210,7 @@ def _solve_core_band2(a_s, sigma, nvec: int, mode: str, nb_f: int,
     from eigenexa_tpu.ops.band import band2_reduce
 
     n = a_s.shape[0]
-    prd = band2_reduce(a_s, nb=nb_f)
+    prd = band2_reduce(a_s, nb=nb_f, donate=True)
 
     if mode == "N":
         from eigenexa_tpu.ops.sturm import eigvals_bisect_band2
@@ -269,10 +269,10 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     if band == 2:
         from eigenexa_tpu.ops.band import band2_reduce
 
-        red = band2_reduce(a_s, nb=nb_f)
+        red = band2_reduce(a_s, nb=nb_f, donate=True)
         d, e_pair = red.d, (red.e1, red.e2)
     else:
-        red = tridiagonalize(a_s, nb=nb_f)
+        red = tridiagonalize(a_s, nb=nb_f, donate=True)
         d, e_pair = red.d, (red.e,)
     _mark("TRD-BLK" if band == 1 else "PRD-BLK", t0,
           4.0 / 3.0 * n ** 3, d)

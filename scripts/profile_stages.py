@@ -33,8 +33,7 @@ with jax.default_matmul_precision("highest"):
     # warmup + timed, per stage
     for it in range(2):
         t0 = time.perf_counter()
-        # pass a fresh copy: the windowed path DONATES its input buffer
-        trd = tridiagonalize(a + 0.0, nb=64)
+        trd = tridiagonalize(a, nb=64)
         device_sync(trd)
         t_trd = time.perf_counter() - t0
 

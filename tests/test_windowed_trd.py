@@ -22,11 +22,15 @@ def _sym(n, seed=0, dtype=np.float32):
     return (a + a.T) / 2
 
 
-@pytest.mark.parametrize("m,t0", [(512, 0), (768, 1), (1024, 3)])
-def test_symv_lower_window(m, t0):
+TM = pk._SYMV_TM  # tile-relative sizes: the tile edge is configurable
+
+
+@pytest.mark.parametrize("mt,t0", [(2, 0), (3, 1), (4, 3)])
+def test_symv_lower_window(mt, t0):
+    m = mt * TM
     a = _sym(m)
     x = np.random.default_rng(1).standard_normal(m).astype(np.float32)
-    w0 = t0 * 256
+    w0 = t0 * TM
     x[:w0] = 0  # caller contract: v masked above the active column
     q = pk.symv_lower(jnp.asarray(a), jnp.asarray(x), t0=t0,
                       interpret=True)
@@ -39,7 +43,7 @@ def test_symv_lower_window(m, t0):
 
 
 def test_symv_lower_fallback_unaligned():
-    # non-multiple-of-256 sizes must take the jnp fallback, both modes
+    # non-tile-multiple sizes must take the jnp fallback, both modes
     a = _sym(300)
     x = np.random.default_rng(2).standard_normal(300).astype(np.float32)
     q = pk.symv_lower(jnp.asarray(a), jnp.asarray(x), interpret=True)
@@ -49,12 +53,12 @@ def test_symv_lower_fallback_unaligned():
 
 @pytest.mark.parametrize("t0", [0, 1])
 def test_rank2k_window_inplace_semantics(t0):
-    m, nb = 768, 64
+    m, nb = 3 * TM, 64
     rng = np.random.default_rng(3)
     b = rng.standard_normal((m, m)).astype(np.float32)
     u = rng.standard_normal((m, nb)).astype(np.float32)
     w = rng.standard_normal((m, nb)).astype(np.float32)
-    w0 = t0 * 256
+    w0 = t0 * TM
     u[:w0] = 0
     w[:w0] = 0
     out = pk.rank2k_update_window(jnp.asarray(b), jnp.asarray(u),
