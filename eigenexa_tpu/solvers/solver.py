@@ -164,7 +164,11 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     (reference: src/eigen_sx.F:30 — dense -> pentadiagonal -> banded D&C).
     """
     n = a.shape[0]
+    in_dtype = a.dtype
     a_s, sigma = matrix_scaling(a)
+    # drop this frame's reference so a caller passing a temporary frees
+    # the unscaled matrix before the reduction (one n² buffer at 32k+)
+    del a
     if band == 2:
         return _solve_core_band2(a_s, sigma, nvec, mode, nb_f, nb_b,
                                  dc_leaf)
@@ -179,7 +183,7 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         return w, None
     if mode in ("A", "X", "T"):
         w, s = dc.solve_tridiag(trd.d, trd.e, leaf=dc_leaf,
-                                vec_dtype=a.dtype)
+                                vec_dtype=in_dtype)
         if mode == "X":
             # bisection refinement of the D&C values (reference: mode-X
             # refinement, bisect.F mode=1)
@@ -194,11 +198,11 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         z = back_transform(s[:, :nvec], trd.v, trd.tau, nb=nb_b)
         return w, z
     if mode == "S":
-        eye = jnp.eye(n, nvec, dtype=a.dtype)
+        eye = jnp.eye(n, nvec, dtype=in_dtype)
         z = back_transform(eye, trd.v, trd.tau, nb=nb_b)
         return trd.d / sigma, z
     if mode == "C":
-        return trd.d / sigma, jnp.eye(n, nvec, dtype=a.dtype)
+        return trd.d / sigma, jnp.eye(n, nvec, dtype=in_dtype)
     raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
 
 
@@ -256,6 +260,7 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
     from eigenexa_tpu.utils.sync import device_sync
 
     n = a.shape[0]
+    in_dtype = a.dtype
     prof = Profiler(enabled=True, sync=False)
 
     def _mark(name, t0, flops, *sync_on):
@@ -266,6 +271,7 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
 
     t0 = time.perf_counter()
     a_s, sigma = jax.jit(matrix_scaling)(a)
+    del a
     if band == 2:
         from eigenexa_tpu.ops.band import band2_reduce
 
@@ -297,9 +303,9 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         if band == 2:
             from eigenexa_tpu.solvers.dc_band import solve_band2_dc
 
-            w, s = solve_band2_dc(d, *e_pair, vec_dtype=a.dtype)
+            w, s = solve_band2_dc(d, *e_pair, vec_dtype=in_dtype)
         else:
-            w, s = dc.solve_tridiag(d, *e_pair, vec_dtype=a.dtype)
+            w, s = dc.solve_tridiag(d, *e_pair, vec_dtype=in_dtype)
         if mode == "X":
             if band == 2:
                 from eigenexa_tpu.ops.sturm import refine_eigenvalues_band2
@@ -316,7 +322,7 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         z0 = s[:, :nvec]
     else:
         w = d / sigma
-        z0 = jnp.eye(n, nvec, dtype=a.dtype)
+        z0 = jnp.eye(n, nvec, dtype=in_dtype)
         if mode == "C":
             return w, z0
 
@@ -390,16 +396,22 @@ def eigen_s(
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
     stages: dict = {}
+    traceable = _core_traceable(a, mode, 1)
+    # hand the matrix over without a lingering frame binding: a caller
+    # passing a temporary frees the unscaled matrix during the solve
+    holder = [a]
+    del a
     # TPU f32 matmuls default to bf16 MXU passes (~1e-2 orthogonality!);
     # the solver's accuracy contract requires true-f32 accumulation.
     with jax.default_matmul_precision(cfg.matmul_precision):
         if profile:
-            w, z = _solve_staged(a, nvec, mode, cfg.panel_forward,
+            w, z = _solve_staged(holder.pop(), nvec, mode,
+                                 cfg.panel_forward,
                                  cfg.panel_backward, 1, stages)
         else:
-            core = (_solve_core_jit if _core_traceable(a, mode, 1)
-                    else _solve_core)
-            w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
+            core = _solve_core_jit if traceable else _solve_core
+            w, z = core(holder.pop(), nvec=nvec, mode=mode,
+                        nb_f=cfg.panel_forward,
                         nb_b=cfg.panel_backward)
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
@@ -449,14 +461,18 @@ def eigen_sx(
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
     stages: dict = {}
+    traceable = _core_traceable(a, mode, 2)
+    holder = [a]
+    del a
     with jax.default_matmul_precision(cfg.matmul_precision):
         if profile:
-            w, z = _solve_staged(a, nvec, mode, cfg.panel_forward,
+            w, z = _solve_staged(holder.pop(), nvec, mode,
+                                 cfg.panel_forward,
                                  cfg.panel_backward, 2, stages)
         else:
-            core = (_solve_core_jit if _core_traceable(a, mode, 2)
-                    else _solve_core)
-            w, z = core(a, nvec=nvec, mode=mode, nb_f=cfg.panel_forward,
+            core = _solve_core_jit if traceable else _solve_core
+            w, z = core(holder.pop(), nvec=nvec, mode=mode,
+                        nb_f=cfg.panel_forward,
                         nb_b=cfg.panel_backward, band=2)
     device_sync(w, z)
     elapsed = time.perf_counter() - t0
