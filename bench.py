@@ -65,8 +65,11 @@ def main():
     # trailing matrix once per column PAIR and beats the tridiagonal
     # eigen_s ~1.25x at n=8192 — the reason eigen_sx exists,
     # src/eigen_prd_t2.F:90)
+    from eigenexa_tpu.testing.checks import eigenvalue_check_scaled
+
     solver_times = {}
     results = {}
+    passing = {}
     for name, solver in (("eigen_sx", eigen_sx), ("eigen_s", eigen_s)):
         w, z, info = solver(a, ctx=ctx)
         t_best = float("inf")
@@ -75,7 +78,15 @@ def main():
             t_best = min(t_best, info.elapsed)
         solver_times[name] = t_best
         results[name] = (w, z)
-    flagship = min(solver_times, key=solver_times.get)
+        passing[name] = bool(
+            residual_check(a, z, w).passed
+            and orthogonality_check(z).passed
+            and eigenvalue_check_scaled(w, w_true).passed)
+    # flagship = fastest path whose checks ALL pass (fastest overall if
+    # none do — the checks are re-reported below either way)
+    candidates = [k for k in solver_times if passing[k]] or \
+        list(solver_times)
+    flagship = min(candidates, key=solver_times.get)
     t_ours = solver_times[flagship]
     w, z = results[flagship]
     flag_solver = eigen_sx if flagship == "eigen_sx" else eigen_s
@@ -100,8 +111,6 @@ def main():
     # criteria are recorded in BASELINE.md).  The strict f64 contract
     # runs in tests/ and on chip via scripts/w_test_f64_chip.py.
     import numpy as np
-
-    from eigenexa_tpu.testing.checks import eigenvalue_check_scaled
 
     w_chk = eigenvalue_check_scaled(w, w_true)
     w_err = float(np.max(np.abs(np.sort(np.asarray(w, dtype=np.float64))

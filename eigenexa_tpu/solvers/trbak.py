@@ -74,6 +74,11 @@ def _back_transform_unrolled(z, v, tau, nb: int):
 
 @functools.partial(jax.jit, static_argnames=("nb", "n_chunks"))
 def _back_transform_chunked(z, v, tau, nb: int, n_chunks: int = 8):
+    """Blocks grouped into n_chunks static row extents; within a chunk
+    every block slice is STATIC (row start coarsened to the chunk start),
+    so the program has only n_chunks distinct GEMM shapes — compile size
+    bounded — while all slices stay static (a lax.scan variant with
+    dynamic lane-dim slices of V measured ~8× slower on the chip)."""
     n = z.shape[0]
     nfull = max(n - 1, 0) // nb          # full-width blocks
     # remainder block first (it is applied first in reverse order)
@@ -91,17 +96,11 @@ def _back_transform_chunked(z, v, tau, nb: int, n_chunks: int = 8):
               for c in range(-(-nfull // per))]
     for b0, b1 in reversed(chunks):
         row0 = b0 * nb                   # static row extent of this chunk
-        vc = v[row0:, :]
         zc = z[row0:, :]
-
-        def body(zc, k, vc=vc, row0=row0):
-            vb = lax.dynamic_slice(
-                vc, (jnp.int32(0), k), (n - row0, nb))
-            tb = lax.dynamic_slice(tau, (k,), (nb,))
-            t = wy_t_factor(vb, tb)
-            return apply_wy_left(zc, vb, t), None
-
-        ks = jnp.arange(b1 - 1, b0 - 1, -1, dtype=jnp.int32) * nb
-        zc, _ = lax.scan(body, zc, ks)
+        for bi in reversed(range(b0, b1)):
+            k = bi * nb                  # static column offset
+            vb = v[row0:, k : k + nb]
+            t = wy_t_factor(vb, tau[k : k + nb])
+            zc = apply_wy_left(zc, vb, t)
         z = z.at[row0:, :].set(zc)
     return z

@@ -61,13 +61,16 @@ def frank_spectrum(n: int, dtype=jnp.float64) -> jnp.ndarray:
 
 
 def frank(n: int, dtype=jnp.float64) -> jnp.ndarray:
-    i = jnp.arange(n)
-    return (jnp.minimum(i[:, None], i[None, :]) + 1).astype(dtype)
+    # indices in the TARGET dtype: under x64 an int64 n×n intermediate
+    # would double the footprint (the TPU backend splits i64 into u32
+    # pairs — 12 GB of transients at n=32768 before the cast)
+    i = jnp.arange(n, dtype=dtype)
+    return jnp.minimum(i[:, None], i[None, :]) + 1
 
 
 def frank2(n: int, dtype=jnp.float64) -> jnp.ndarray:
-    i = jnp.arange(n)
-    return (n - jnp.maximum(i[:, None], i[None, :])).astype(dtype)
+    i = jnp.arange(n, dtype=dtype)
+    return n - jnp.maximum(i[:, None], i[None, :])
 
 
 def toeplitz(n: int, dtype=jnp.float64) -> jnp.ndarray:
