@@ -124,6 +124,42 @@ def main():
     w2, z2, _ = flag_solver(a, ctx=ctx)
     repro = bool(jnp.array_equal(w, w2)) and bool(jnp.array_equal(z, z2))
     model_flops = (4.0 / 3.0 + 2.0) * n**3  # TRD + TRBAK models (ref counts)
+
+    # large-n extra: the n=16384 whole solve (windowed TRD + per-level
+    # D&C + static-chunk TRBAK).  Only attempted when the persistent
+    # compile cache looks warm — a cold compile at 16384 is ~20 min and
+    # must not blow the bench budget.  BENCH_LARGE=0 disables, =1 forces.
+    large = {}
+    want_large = os.environ.get("BENCH_LARGE", "auto")
+    cache_warm = False
+    try:
+        cache_warm = len(os.listdir(_cache)) > 100
+    except OSError:
+        pass
+    if n == 8192 and dtype == jnp.float32 and want_large != "0" and (
+            want_large == "1" or cache_warm):
+        try:
+            n_l = 16384
+            w_l, z_l, info_l = eigen_s(frank(n_l, dtype=jnp.float32),
+                                       ctx=ctx)
+            w_l, z_l, info_l = eigen_s(frank(n_l, dtype=jnp.float32),
+                                       ctx=ctx)
+            wt_l = frank_spectrum(n_l)
+            a_l = frank(n_l, dtype=jnp.float32)
+            r_l = residual_check(a_l, z_l, w_l)
+            o_l = orthogonality_check(z_l)
+            wc_l = eigenvalue_check_scaled(w_l, wt_l)
+            large = {
+                "n16384_time_s": round(info_l.elapsed, 3),
+                "n16384_model_gflops": round(
+                    (4.0 / 3.0 + 2.0) * n_l ** 3 / info_l.elapsed / 1e9,
+                    1),
+                "n16384_pass": bool(r_l.passed and o_l.passed
+                                    and wc_l.passed),
+            }
+            del a_l, z_l
+        except Exception as e:  # pragma: no cover - report, don't fail
+            large = {"n16384_error": str(e)[:120]}
     print(
         json.dumps(
             {
@@ -146,6 +182,7 @@ def main():
                     "w_pass": bool(w_chk.passed),
                     "repro_bitwise": repro,
                     "device": str(dev),
+                    **large,
                 },
             }
         )
