@@ -288,23 +288,20 @@ def _dist_solve_sx(a_pad, n: int, nvec: int, mode: str, nb_f: int,
         )(s_pad, v_loc, tau)
 
     if mode in ("A", "X", "T"):
-        # reduced solve: the banded two-merge tree (traceable jax impl).
-        # The O(n²) secular math replicates; the O(n³) GEMM cascades are
-        # GSPMD-shardable.  A rows-pinned distributed twin of the band-2
-        # tree (dc_dist for HBW=2) is the known follow-up.
-        from eigenexa_tpu.solvers.dc_band import solve_band2_dc
+        # reduced solve: the rows-pinned distributed band-2 two-merge
+        # tree (solvers/dc_band_dist.py — group-scoped butterflies for
+        # d/boundary-row pairs, two rank-1 merges per join, chunked top)
+        from eigenexa_tpu.solvers.dc_band_dist import solve_band2_dist
 
-        w, s = solve_band2_dc(d, e1, e2, vec_dtype=a_pad.dtype)
+        w, s_pad = solve_band2_dist(d, e1, e2, mesh, big_n,
+                                    vec_dtype=a_pad.dtype)
         if mode == "X":
             from eigenexa_tpu.ops.sturm import refine_eigenvalues_band2
 
             w = refine_eigenvalues_band2(d, e1, e2, w)
         w = w / sigma
         if mode == "T":
-            return w, s[:, :nvec]
-        s_pad = jnp.zeros((big_n, big_n), a_pad.dtype).at[:n, :n].set(s)
-        s_pad = jax.lax.with_sharding_constraint(
-            s_pad, matrix_sharding(mesh))
+            return w, s_pad[:n, :nvec]
         z = _trbak(s_pad)
         return w, z[:n, :nvec]
 

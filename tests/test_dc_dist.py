@@ -163,3 +163,36 @@ def test_chunked_top_merge_bounds_transient():
     t_unchunked = temps(10**9, 64)
     t_chunked = temps(256, 64)
     assert t_chunked < 0.7 * t_unchunked, (t_chunked, t_unchunked)
+
+
+@pytest.mark.slow
+def test_band2_dist_tree_matches_scipy():
+    """The rows-pinned distributed band-2 two-merge tree
+    (solvers/dc_band_dist.py — the HBW=2 twin of the tridiagonal tree)
+    must reproduce scipy's banded eigensolver and hold orthogonality.
+    (slow: the direct tree program is one of the heaviest CPU compiles in
+    the suite; the default-suite distributed_eigen_sx tests exercise the
+    same tree end-to-end.)"""
+    import scipy.linalg
+
+    from eigenexa_tpu.solvers.dc_band_dist import solve_band2_dist
+
+    rng = np.random.default_rng(21)
+    n = 96
+    d = jnp.asarray(rng.standard_normal(n))
+    e1 = jnp.asarray(rng.standard_normal(n - 1))
+    e2 = jnp.asarray(rng.standard_normal(n - 2))
+    band = np.zeros((3, n))
+    band[0] = np.asarray(d)
+    band[1, : n - 1] = np.asarray(e1)
+    band[2, : n - 2] = np.asarray(e2)
+    w_ref = scipy.linalg.eig_banded(band, lower=True, eigvals_only=True)
+    mesh = build_mesh(devices=jax.devices()[:8], shape=(4, 2))
+    w, s_pad = solve_band2_dist(d, e1, e2, mesh, 96, jnp.float64)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-12)
+    s = np.asarray(s_pad)[:n, :n]
+    assert np.linalg.norm(s.T @ s - np.eye(n)) < 1e-12
+    # double-run bitwise
+    w2, s2 = solve_band2_dist(d, e1, e2, mesh, 96, jnp.float64)
+    assert np.array_equal(np.asarray(w), np.asarray(w2))
+    assert np.array_equal(np.asarray(s_pad), np.asarray(s2))
