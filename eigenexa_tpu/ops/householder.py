@@ -247,26 +247,100 @@ def _panel_win(b, j0, t0: int, nb: int, interpret: bool):
     return lax.fori_loop(0, nb, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"),
+def _win_schedule(n: int, nb: int, group: int):
+    """Panel offsets per window group: group g covers offsets
+    [g·group, (g+1)·group); returns ({g: [offsets]}, first remainder k)."""
+    groups: dict = {}
+    m_act, k = n, 0
+    while m_act > nb:
+        groups.setdefault(k // group, []).append(k)
+        k += nb
+        m_act -= nb
+    return groups, k
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "t0", "interpret"),
+                   donate_argnums=(0, 1, 2, 3))
+def _win_group(b, tau_full, d, e, ks, nb: int, t0: int, interpret: bool):
+    """One window group of the no-roll reduction: a `lax.scan` over the
+    group's panels at a fixed tile window t0.  All four carries are
+    donated, so the working buffer is updated in place across the eager
+    group loop (the reference factors A in place, src/eigen_trd.F:349)."""
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update_window
+
+    def body(carry, j0):
+        bc, tf, dc, ec = carry
+        u_p, w_p, tau_p, e_p = _panel_win(bc, j0, t0, nb, interpret)
+        dg = lax.dynamic_slice(bc, (j0, j0), (nb, nb))
+        z32 = jnp.int32(0)  # literals must match j0's int32 under x64
+        ug = lax.dynamic_slice(u_p, (j0, z32), (nb, nb))
+        wg = lax.dynamic_slice(w_p, (j0, z32), (nb, nb))
+        diag = jnp.diagonal(dg) - 2.0 * jnp.sum(ug * wg, axis=1)
+        bc = rank2k_update_window(bc, u_p, w_p, t0=t0,
+                                  interpret=interpret)
+        # store V in place of the just-processed (dead) panel columns
+        bc = lax.dynamic_update_slice(bc, u_p, (z32, j0))
+        tf = lax.dynamic_update_slice(tf, tau_p, (j0,))
+        dc = lax.dynamic_update_slice(dc, diag, (j0,))
+        ec = lax.dynamic_update_slice(ec, e_p, (j0,))
+        return (bc, tf, dc, ec), None
+
+    (b, tau_full, d, e), _ = lax.scan(body, (b, tau_full, d, e), ks)
+    return b, tau_full, d, e
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"),
                    donate_argnums=(0,))
+def _win_finish(b, tau_full, d, e, k: int, n: int) -> TridiagResult:
+    """Remainder panel (m ≤ nb) + in-place V store + final slicing."""
+    n_pad = b.shape[0]
+    dtype = b.dtype
+    m = n - k
+    if m > 1:
+        b_rem = lax.slice(b, (k, k), (n, n))
+        u_p, w_p, tau_p, e_p = tridiag_panel(b_rem, m)
+        diag = _panel_diag(b_rem, u_p, w_p, m)
+        d = d.at[k : k + m].set(diag)
+        e = e.at[k : k + m - 1].set(e_p[: m - 1])
+        vcol = jnp.zeros((n_pad, m), dtype).at[k:n, :].set(u_p)
+        b = b.at[:, k : k + m].set(vcol)
+        tau_full = tau_full.at[k : k + m].set(tau_p)
+    elif m == 1:
+        d = d.at[k].set(b[k, k])
+        b = b.at[:, k].set(jnp.zeros((n_pad,), dtype))
+    return TridiagResult(d=d[:n], e=e[: max(n - 1, 1)][: n - 1],
+                         v=b[:n, :n], tau=tau_full[:n])
+
+
 def _tridiagonalize_windowed(a: jnp.ndarray, nb: int, group: int,
                              interpret: bool) -> TridiagResult:
     """No-roll reduction: ONE fixed (n_pad, n_pad) working buffer for the
     whole factorization.  Panels advance down the diagonal in the global
-    frame; a statically-shrinking tile window (one `lax.scan` per window
-    position, ~8 total) bounds the work to the live trailing block, the
-    symv kernel reads only the window's lower triangle, and the rank-2k
-    trailing update aliases its output onto the buffer
-    (rank2k_update_window) — so peak memory is ~(buffer + V) ≈ 2·n²
-    instead of the rolled scheme's 4-5·n² (input + padded copy +
-    scan-stacked panels + V).
+    frame; a statically-shrinking tile window bounds the work to the live
+    trailing block, the symv kernel reads only the window's lower
+    triangle, and the rank-2k trailing update aliases its output onto the
+    buffer (rank2k_update_window).
 
-    Reference analogue: the in-place trailing storage of eigen_trd.F:349
-    (the reference also factors A in place); the window-shrink plays the
-    role its shrinking cyclic distribution plays.
+    Reflectors are stored IN PLACE: after a panel's trailing update, its
+    (dead) columns of the working buffer are overwritten with the panel's
+    reflector vectors — exactly the reference's scheme of factoring A in
+    place and keeping V in the zeroed-out part of the reduced matrix
+    (src/eigen_trd.F:349 panel loop over A; src/eigen_trd_t7.F:72,208
+    panel load/restore).  Later panels never read those columns as data:
+    the rank-2k delta there is exactly zero (both U and the j0-masked W
+    vanish on rows < j0), and the windowed symv's reads of them only feed
+    result rows that the recurrence masks away.  Peak memory is therefore
+    ~1·n² + O(n·nb).
+
+    Orchestration is EAGER per window group (~8 jitted programs with all
+    carries donated), like the per-level D&C dispatch: a single fused
+    program at n=32768 crashes the TPU worker (reproduced — one or two
+    groups run fine, the full monolith does not), and per-group dispatch
+    also bounds compile size and single-dispatch runtime.  Dispatch
+    latency is ~ms against multi-second group runtimes.  NOTE: the input
+    buffer is CONSUMED (donated into the first group / used as the
+    working buffer) — `tridiagonalize` copies unless donate=True.
     """
-    from eigenexa_tpu.ops.pallas_kernels import rank2k_update_window
-
     n = a.shape[0]
     dtype = a.dtype
     tm = _WIN_TM
@@ -277,53 +351,14 @@ def _tridiagonalize_windowed(a: jnp.ndarray, nb: int, group: int,
     d = jnp.zeros((n_pad,), dtype)
     e = jnp.zeros((n_pad,), dtype)
     tau_full = jnp.zeros((n_pad,), dtype)
-    v_big = jnp.zeros((n_pad, n_pad), dtype)
 
-    groups: dict = {}
-    m_act, k = n, 0
-    while m_act > nb:
-        groups.setdefault(k // group, []).append(k)
-        k += nb
-        m_act -= nb
-
+    groups, k = _win_schedule(n, nb, group)
     for g in sorted(groups):
         t0 = (g * group) // tm
-
-        def body(carry, j0, t0=t0):
-            bc, vb, tf, dc, ec = carry
-            u_p, w_p, tau_p, e_p = _panel_win(bc, j0, t0, nb, interpret)
-            dg = lax.dynamic_slice(bc, (j0, j0), (nb, nb))
-            z32 = jnp.int32(0)  # literals must match j0's int32 under x64
-            ug = lax.dynamic_slice(u_p, (j0, z32), (nb, nb))
-            wg = lax.dynamic_slice(w_p, (j0, z32), (nb, nb))
-            diag = jnp.diagonal(dg) - 2.0 * jnp.sum(ug * wg, axis=1)
-            bc = rank2k_update_window(bc, u_p, w_p, t0=t0,
-                                      interpret=interpret)
-            vb = lax.dynamic_update_slice(vb, u_p, (z32, j0))
-            tf = lax.dynamic_update_slice(tf, tau_p, (j0,))
-            dc = lax.dynamic_update_slice(dc, diag, (j0,))
-            ec = lax.dynamic_update_slice(ec, e_p, (j0,))
-            return (bc, vb, tf, dc, ec), None
-
         ks = jnp.asarray(groups[g], dtype=jnp.int32)
-        (b, v_big, tau_full, d, e), _ = lax.scan(
-            body, (b, v_big, tau_full, d, e), ks)
-
-    # remainder block (m <= nb): static offset, rolled-style panel
-    m = n - k
-    if m > 1:
-        b_rem = lax.slice(b, (k, k), (n, n))
-        u_p, w_p, tau_p, e_p = tridiag_panel(b_rem, m)
-        diag = _panel_diag(b_rem, u_p, w_p, m)
-        d = d.at[k : k + m].set(diag)
-        e = e.at[k : k + m - 1].set(e_p[: m - 1])
-        v_big = v_big.at[k:n, k : k + m].set(u_p)
-        tau_full = tau_full.at[k : k + m].set(tau_p)
-    elif m == 1:
-        d = d.at[k].set(b[k, k])
-
-    return TridiagResult(d=d[:n], e=e[: max(n - 1, 1)][: n - 1],
-                         v=v_big[:n, :n], tau=tau_full[:n])
+        b, tau_full, d, e = _win_group(b, tau_full, d, e, ks,
+                                       nb=nb, t0=t0, interpret=interpret)
+    return _win_finish(b, tau_full, d, e, k=k, n=n)
 
 
 def _hbm_bytes() -> float:
@@ -340,16 +375,30 @@ def _hbm_bytes() -> float:
     return 16e9
 
 
+def _rolled_peak_bytes(n: int, itemsize: int = 4) -> float:
+    """Empirical whole-solve peak of the rolled path: ~15 f32 n²
+    buffer-equivalents once XLA scan double-buffering and stage temps are
+    counted (measured on v5e: n=8192 fits a 16 GB chip comfortably,
+    n=16384 hits RESOURCE_EXHAUSTED)."""
+    return 15.0 * n * n * itemsize
+
+
+def _needs_windowed(n: int, hbm_bytes: float) -> bool:
+    """The pure memory rule of the rolled-vs-windowed dispatch, split out
+    so the boundary is unit-testable against a mocked device memory
+    (tests/test_windowed_trd.py)."""
+    return _rolled_peak_bytes(n) > 0.9 * hbm_bytes
+
+
 def _windowed_eligible(a, n: int) -> bool:
     """The windowed path needs the Pallas kernels (TPU backend, f32,
     real).  Measured on v5e: the rolled fused path is FASTER at every
     size it fits (XLA's in-program matvec streams at ~70% of HBM
     roofline; the packed-triangle symv kernel runs at ~1/3 of that, so
-    halving traffic still loses) — windowed is the *memory* path: ~2·n²
-    live for the reduction itself vs the rolled WHOLE-SOLVE peak of
-    ~15 f32 n² buffer-equivalents (measured; XLA scan double-buffering
-    and stage temps dominate the 5 live buffers the algorithm names), so
-    it is chosen only when that rolled peak would pressure the HBM."""
+    halving traffic still loses) — windowed is the *memory* path: ~1·n²
+    live for the reduction itself (in-place V storage) vs the rolled
+    whole-solve peak of `_rolled_peak_bytes`, so it is chosen only when
+    that rolled peak would pressure the HBM."""
     from eigenexa_tpu.ops import pallas_kernels as pk
 
     if a.dtype != jnp.float32 or n < 512:
@@ -358,12 +407,7 @@ def _windowed_eligible(a, n: int) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    # empirical v5e footprint: the rolled whole-solve peaks at ~15 f32 n²
-    # buffer-equivalents once XLA scan double-buffers and stage temps are
-    # counted (measured: n=8192 fits comfortably, n=16384 hits
-    # RESOURCE_EXHAUSTED on the 16 GB chip)
-    rolled_peak = 15.0 * n * n * 4  # bytes
-    return rolled_peak > 0.9 * _hbm_bytes()
+    return _needs_windowed(n, _hbm_bytes())
 
 
 def tridiagonalize(a: jnp.ndarray, nb: int = 64,

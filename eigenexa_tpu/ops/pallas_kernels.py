@@ -65,11 +65,13 @@ def set_enabled(flag: bool) -> None:
     householder._tridiag_step.clear_cache()
     householder._remainder_step.clear_cache()
     householder._tridiagonalize_fused.clear_cache()
-    householder._tridiagonalize_windowed.clear_cache()
+    householder._win_group.clear_cache()
+    householder._win_finish.clear_cache()
     band._band2_step.clear_cache()
     band._band2_remainder.clear_cache()
     band._band2_reduce_fused.clear_cache()
-    band._band2_windowed.clear_cache()
+    band._band2_win_group.clear_cache()
+    band._band2_win_finish.clear_cache()
     _symv_pallas.clear_cache()
     _sub_matmul_window_pallas.clear_cache()
 

@@ -172,9 +172,14 @@ def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter,
 
 # one compiled program per tree level (shapes differ per level); without
 # this the eager per-op dispatch of a level's merge graph is thousands of
-# small kernels
+# small kernels.  q (argnum 1) is donated: its (B, s, s) input bytes equal
+# the (B/2, 2s, 2s) output bytes, so the eager per-level loop updates the
+# eigenvector cascade IN PLACE instead of ping-ponging two n² buffers —
+# required headroom for n=32768 on a 16 GB chip.  (Donation is ignored
+# when traced inside the fused-tree jit.)
 _merge_level_jit = functools.partial(
-    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype")
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype"),
+    donate_argnums=(1,)
 )(_merge_level)
 
 
@@ -208,7 +213,8 @@ def _merge_level_chunked(d, q, row0, row1, rho, sgn, vec_dtype, n_iter,
 
 
 _merge_level_chunked_jit = functools.partial(
-    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype", "panel")
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype", "panel"),
+    donate_argnums=(1,)
 )(_merge_level_chunked)
 
 # per-level orchestration: merges at least this wide build C in column
@@ -371,6 +377,18 @@ def _solve_tridiag_level(d, e, leaf: int, vec_dtype, n_iter: int,
 FUSED_TREE_MAX_N = 8192
 
 
+def _pick_impl(on_cpu: bool, f32_vecs: bool, n: int) -> str:
+    """The impl-dispatch rule of solve_tridiag_dc, split out pure so the
+    FUSED_TREE_MAX_N boundary is unit-testable without a TPU backend
+    (tests/test_dc_tree.py): CPU → fused 'jax' tree at any n; TPU f32 →
+    fused up to FUSED_TREE_MAX_N, per-level above; TPU f64 → host
+    secular core (the emulated-f64 merge graph has pathological compile
+    times)."""
+    if on_cpu or f32_vecs:
+        return "level" if (not on_cpu and n > FUSED_TREE_MAX_N) else "jax"
+    return "host"
+
+
 def solve_tridiag_dc(
     d: jnp.ndarray,
     e: jnp.ndarray,
@@ -405,11 +423,7 @@ def solve_tridiag_dc(
     on_cpu = jax.default_backend() == "cpu"
     f32_vecs = jnp.dtype(vec_dtype) == jnp.dtype(jnp.float32)
     if impl is None:
-        if on_cpu or f32_vecs:
-            impl = ("level" if (not on_cpu and n > FUSED_TREE_MAX_N)
-                    else "jax")
-        else:
-            impl = "host"
+        impl = _pick_impl(on_cpu, f32_vecs, n)
     if work_dtype is None:
         work_dtype = (jnp.dtype(jnp.float32) if (not on_cpu and f32_vecs)
                       else jax.dtypes.canonicalize_dtype(np.float64))

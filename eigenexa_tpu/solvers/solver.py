@@ -195,11 +195,15 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         w = w / sigma
         if mode == "T":
             return w, s[:, :nvec]
-        z = back_transform(s[:, :nvec], trd.v, trd.tau, nb=nb_b)
+        # hand the eigenvector buffer to the back-transform without a
+        # lingering reference (at n=32k every n² buffer counts)
+        z0 = s[:, :nvec] if nvec < n else s
+        del s
+        z = back_transform(z0, trd.v, trd.tau, nb=nb_b, donate=True)
         return w, z
     if mode == "S":
         eye = jnp.eye(n, nvec, dtype=in_dtype)
-        z = back_transform(eye, trd.v, trd.tau, nb=nb_b)
+        z = back_transform(eye, trd.v, trd.tau, nb=nb_b, donate=True)
         return trd.d / sigma, z
     if mode == "C":
         return trd.d / sigma, jnp.eye(n, nvec, dtype=in_dtype)
@@ -232,11 +236,13 @@ def _solve_core_band2(a_s, sigma, nvec: int, mode: str, nb_f: int,
         w = w / sigma
         if mode == "T":
             return w, s[:, :nvec]
-        z = back_transform(s[:, :nvec], prd.v, prd.tau, nb=nb_b)
+        z0 = s[:, :nvec] if nvec < n else s
+        del s
+        z = back_transform(z0, prd.v, prd.tau, nb=nb_b, donate=True)
         return w, z
     if mode == "S":
         eye = jnp.eye(n, nvec, dtype=a_s.dtype)
-        z = back_transform(eye, prd.v, prd.tau, nb=nb_b)
+        z = back_transform(eye, prd.v, prd.tau, nb=nb_b, donate=True)
         return prd.d / sigma, z
     if mode == "C":
         return prd.d / sigma, jnp.eye(n, nvec, dtype=a_s.dtype)
@@ -319,7 +325,8 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         _mark("D&C", t0, dc_flop_model(n), w, s)
         if mode == "T":
             return w, s[:, :nvec]
-        z0 = s[:, :nvec]
+        z0 = s[:, :nvec] if nvec < n else s
+        del s
     else:
         w = d / sigma
         z0 = jnp.eye(n, nvec, dtype=in_dtype)
@@ -327,7 +334,7 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
             return w, z0
 
     t0 = time.perf_counter()
-    z = back_transform(z0, red.v, red.tau, nb=nb_b)
+    z = back_transform(z0, red.v, red.tau, nb=nb_b, donate=True)
     _mark("TRDBAK", t0, 2.0 * nvec * n ** 2, z)
     return w, z
 

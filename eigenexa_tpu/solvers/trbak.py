@@ -28,7 +28,7 @@ _UNROLL_MAX_BLOCKS = 64
 
 
 def back_transform(z: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray,
-                   nb: int = 128) -> jnp.ndarray:
+                   nb: int = 128, donate: bool = False) -> jnp.ndarray:
     """Z ← Q·Z where Q = H_0·…·H_{n-3} from `tridiagonalize`.
 
     `z` is (n, nvec) — the eigenvectors of the tridiagonal matrix; returns
@@ -50,6 +50,11 @@ def back_transform(z: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray,
     nblocks = (max(n - 1, 0) + nb - 1) // nb
     if nblocks <= _UNROLL_MAX_BLOCKS:
         return _back_transform_unrolled(z, v, tau, nb=nb)
+    if not donate:
+        # the chunked jit donates z (its working eigenvector buffer
+        # aliases it — one n² saved at the sizes this path serves); the
+        # public default stays non-destructive via a copy
+        z = z + jnp.zeros((), z.dtype)
     return _back_transform_chunked(z, v, tau, nb=nb)
 
 
@@ -72,7 +77,8 @@ def _back_transform_unrolled(z, v, tau, nb: int):
     return z
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "n_chunks"))
+@functools.partial(jax.jit, static_argnames=("nb", "n_chunks"),
+                   donate_argnums=(0,))
 def _back_transform_chunked(z, v, tau, nb: int, n_chunks: int = 8):
     """Blocks grouped into n_chunks static row extents; within a chunk
     every block slice is STATIC (row start coarsened to the chunk start),
