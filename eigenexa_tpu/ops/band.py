@@ -53,6 +53,62 @@ class BandResult(NamedTuple):
     tau: jnp.ndarray  # (n,)   reflector scales (0 -> identity)
 
 
+def pair_reflectors(x0, x1, c0, idx):
+    """Generate the band-2 reflector pair for columns (c0, c0+1) — the
+    tall-skinny-QR scheme of the reference's eigen_prd_compute_u
+    (src/eigen_prd_t4x.F:83; numerical-sensitivity note
+    ReleaseNotes.txt:29-31):
+
+    1. **CholeskyQR2 pre-orthogonalization**: the second column is
+       orthogonalized against the first through Gram coefficients,
+       TWICE (the reference's itr=1,2 Gram/modified-Cholesky loop,
+       eigen_prd_t4x.F:140-283) — after two passes the pair is
+       orthogonal to O(ε) even when the columns are nearly parallel
+       (one explicit projection leaves O(ε·κ)).
+    2. Reflector 0 from the (untouched) first column.
+    3. **Analytic H0 application** to the orthogonalized second column:
+       by orthogonality v0ᴴ·a1 = −β0·a1[p0]/conj(α0−β0) exactly — no
+       cancellation-prone inner product (the reference's
+       `s = sgm(2)*u_t(5)/bet(2)` rank-1 fix-up, eigen_prd_t4x.F:305).
+    4. Reflector 1 from the result.
+
+    An inaccurate second reflector leaves non-pentadiagonal residue that
+    the band extraction silently drops — this scheme bounds that residue
+    by O(ε·‖A‖) instead of O(ε·κ·‖A‖), which is what keeps the
+    eigen_sx eigenvalue error from growing with n.
+
+    Returns (v_pair (m, 2), tau0, tau1, t (2, 2)) with
+    H0·H1 = I − V·T·Vᴴ (upper-triangular 2×2 T).
+    """
+    dtype = x0.dtype
+    mask0 = idx > c0 + 1          # support of v0 (pivot row c0+2)
+    mask1 = idx > c0 + 2          # support of v1 (pivot row c0+3)
+    a0 = jnp.where(mask0, x0, 0)
+    a1 = jnp.where(mask0, x1, 0)  # common region includes row c0+2
+    t11 = jnp.real(jnp.vdot(a0, a0))
+    safe_t11 = jnp.where(t11 > 0, t11, 1.0)
+    for _ in range(2):            # CholeskyQR2: twice is enough
+        s12 = jnp.vdot(a0, a1) / safe_t11
+        a1 = a1 - jnp.where(t11 > 0, s12, 0.0) * a0
+
+    v0, tau0, beta0 = householder_vector(a0, mask0)
+    # analytic H0ᴴ·a1 via exact pair orthogonality (a0ᴴ·a1 = 0):
+    # v0ᴴ·a1 = −β0·a1[p0]/conj(α0−β0)
+    p0 = jnp.minimum(c0 + 2, idx.shape[0] - 1)
+    alpha0 = a0[p0]
+    denom0 = jnp.where(tau0 != 0, alpha0 - beta0.astype(dtype), 1.0)
+    vha1 = -beta0.astype(dtype) * a1[p0] / jnp.conj(denom0)
+    c1 = a1 - jnp.conj(tau0) * vha1 * v0
+    v1, tau1, _ = householder_vector(c1, mask1)
+
+    v_pair = jnp.stack([v0, v1], axis=1)
+    t01 = -tau0 * tau1 * jnp.vdot(v0, v1)
+    t = jnp.array([[1.0, 0.0], [0.0, 0.0]], dtype) * tau0 \
+        + jnp.array([[0.0, 0.0], [0.0, 1.0]], dtype) * tau1 \
+        + jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype) * t01
+    return v_pair, tau0, tau1, t
+
+
 def _pair_body(j, carry, b, nb):
     """One 2-column step of the band-2 panel recurrence.
 
@@ -72,20 +128,8 @@ def _pair_body(j, carry, b, nb):
     cols = cols - u_p @ jnp.conj(w_rows).T - w_p @ jnp.conj(u_rows).T
 
     idx = jnp.arange(m)
-    # reflector 0: zero rows >= c0+3 of column c0 (pivot row c0+2)
-    mask0 = idx > c0 + 1
-    v0, tau0, _ = householder_vector(cols[:, 0], mask0)
-    # apply H0^H to column c0+1, then reflector 1 with pivot row c0+3
-    c1 = cols[:, 1] - jnp.conj(tau0) * v0 * jnp.vdot(v0, cols[:, 1])
-    mask1 = idx > c0 + 2
-    v1, tau1, _ = householder_vector(c1, mask1)
-
-    v_pair = jnp.stack([v0, v1], axis=1)                      # (m, 2)
-    # H0·H1 = I − V·T·V^H  with upper-triangular 2x2 T
-    t01 = -tau0 * tau1 * jnp.vdot(v0, v1)
-    t = jnp.array([[1.0, 0.0], [0.0, 0.0]], dtype) * tau0 \
-        + jnp.array([[0.0, 0.0], [0.0, 1.0]], dtype) * tau1 \
-        + jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype) * t01
+    v_pair, tau0, tau1, t = pair_reflectors(
+        cols[:, 0], cols[:, 1], c0, idx)
 
     # P = A_cur · V · T  (the PDSYMV2 analogue: both vectors in one pass —
     # reference: eigen_prd_au, src/eigen_prd_t2.F:90)
@@ -194,14 +238,8 @@ def _pair_win(b, j0, t0: int, nb: int, interpret: bool):
         w_rows = lax.dynamic_slice(w_p, (c0, z32), (2, nb))
         u_rows = lax.dynamic_slice(u_p, (c0, z32), (2, nb))
         cols = cols - u_p @ w_rows.T - w_p @ u_rows.T
-        v0, tau0, _ = householder_vector(cols[:, 0], idx > c0 + 1)
-        c1 = cols[:, 1] - tau0 * v0 * jnp.dot(v0, cols[:, 1])
-        v1, tau1, _ = householder_vector(c1, idx > c0 + 2)
-        v_pair = jnp.stack([v0, v1], axis=1)
-        t01 = -tau0 * tau1 * jnp.dot(v0, v1)
-        t = jnp.array([[1.0, 0.0], [0.0, 0.0]], dtype) * tau0 \
-            + jnp.array([[0.0, 0.0], [0.0, 1.0]], dtype) * tau1 \
-            + jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype) * t01
+        v_pair, tau0, tau1, t = pair_reflectors(
+            cols[:, 0], cols[:, 1], c0, idx)
         av = symv_lower(b, v_pair, t0=t0, interpret=interpret)
         av = av - u_p @ (w_p.T @ v_pair) - w_p @ (u_p.T @ v_pair)
         p = av @ t
@@ -217,15 +255,90 @@ def _pair_win(b, j0, t0: int, nb: int, interpret: bool):
     return lax.fori_loop(0, nb // 2, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "group", "interpret"),
+@functools.partial(jax.jit, static_argnames=("nb", "t0", "interpret"),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _band2_win_group(b, tau_full, d, e1, e2, ks, nb: int, t0: int,
+                     interpret: bool):
+    """One window group of the no-roll PRD (donated carries — see
+    householder._win_group for the per-group dispatch rationale)."""
+    from eigenexa_tpu.ops.pallas_kernels import rank2k_update_window
+
+    z32 = jnp.int32(0)
+
+    def body(carry, j0):
+        bc, tf, dc, e1c, e2c = carry
+        u_p, w_p, tau_p = _pair_win(bc, j0, t0, nb, interpret)
+        # band extraction from the (nb+2)-sized diagonal block of the
+        # frozen bc plus the panel correction (exact at panel end —
+        # later reflectors start two rows below these entries)
+        dg = lax.dynamic_slice(bc, (j0, j0), (nb + 2, nb + 2))
+
+        def corr(off):
+            u_hi = lax.dynamic_slice(u_p, (j0 + off, z32), (nb, nb))
+            w_hi = lax.dynamic_slice(w_p, (j0 + off, z32), (nb, nb))
+            u_lo = lax.dynamic_slice(u_p, (j0, z32), (nb, nb))
+            w_lo = lax.dynamic_slice(w_p, (j0, z32), (nb, nb))
+            return jnp.sum(u_hi * w_lo + w_hi * u_lo, axis=1)
+
+        d_p = jnp.diagonal(dg)[:nb] - corr(0)
+        e1_p = jnp.diagonal(dg, -1)[:nb] - corr(1)
+        e2_p = jnp.diagonal(dg, -2)[:nb] - corr(2)
+        bc = rank2k_update_window(bc, u_p, w_p, t0=t0,
+                                  interpret=interpret)
+        # store V in place of the just-processed (dead) panel columns
+        bc = lax.dynamic_update_slice(bc, u_p, (z32, j0))
+        tf = lax.dynamic_update_slice(tf, tau_p, (j0,))
+        dc = lax.dynamic_update_slice(dc, d_p, (j0,))
+        e1c = lax.dynamic_update_slice(e1c, e1_p, (j0,))
+        e2c = lax.dynamic_update_slice(e2c, e2_p, (j0,))
+        return (bc, tf, dc, e1c, e2c), None
+
+    (b, tau_full, d, e1, e2), _ = lax.scan(
+        body, (b, tau_full, d, e1, e2), ks)
+    return b, tau_full, d, e1, e2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"),
                    donate_argnums=(0,))
+def _band2_win_finish(b, tau_full, d, e1, e2, k: int, n: int) -> BandResult:
+    """Remainder pair panel (m ≤ nb+2) + in-place V store + slicing."""
+    n_pad = b.shape[0]
+    dtype = b.dtype
+    m = n - k
+    if m > 0:
+        mp = _round_up(m + 2, 2)
+        bp = jnp.zeros((mp, mp), dtype).at[:m, :m].set(
+            lax.slice(b, (k, k), (n, n))[:m, :m])
+        u_p, w_p, tau_p, d_p, e1_p, e2_p = _band2_remainder(bp, m)
+        d = d.at[k : k + m].set(d_p[:m])
+        if m > 1:
+            e1 = e1.at[k : k + m - 1].set(e1_p[: m - 1])
+        if m > 2:
+            e2 = e2.at[k : k + m - 2].set(e2_p[: m - 2])
+        vcol = jnp.zeros((n_pad, m), dtype).at[k:n, :].set(u_p[:m, :m])
+        b = b.at[:, k:n].set(vcol)
+        tau_full = tau_full.at[k : k + m].set(tau_p[:m])
+    return BandResult(d=d[:n], e1=e1[: max(n - 1, 1)][: n - 1],
+                      e2=e2[: max(n - 2, 1)][: n - 2],
+                      v=b[:n, :n], tau=tau_full[:n])
+
+
 def _band2_windowed(a: jnp.ndarray, nb: int, group: int,
                     interpret: bool) -> BandResult:
     """No-roll PRD: one fixed (n_pad, n_pad) working buffer, lower-triangle
     windowed symv, in-place rank-2k — the band-2 twin of
     ops/householder._tridiagonalize_windowed (same memory/traffic
-    argument; reference in-place analogue: eigen_prd.F:341)."""
-    from eigenexa_tpu.ops.pallas_kernels import rank2k_update_window
+    argument; reference in-place analogue: eigen_prd.F:341).
+
+    Like the tridiagonal twin: reflectors are stored IN PLACE in the dead
+    (already-processed) columns of the working buffer (the reference
+    keeps V inside the factored matrix too, src/eigen_prd_t7.F panel
+    load/restore) — peak memory ~1·n² + O(n·nb) — and the orchestration
+    is EAGER per window group with donated carries (a single fused
+    program at n=32768 crashes the TPU worker; see
+    householder._tridiagonalize_windowed).  The input buffer is CONSUMED;
+    band2_reduce copies unless donate=True.
+    """
     from eigenexa_tpu.ops.householder import _WIN_TM as tm
 
     n = a.shape[0]
@@ -238,7 +351,6 @@ def _band2_windowed(a: jnp.ndarray, nb: int, group: int,
     e1 = jnp.zeros((n_pad,), dtype)
     e2 = jnp.zeros((n_pad,), dtype)
     tau_full = jnp.zeros((n_pad,), dtype)
-    v_big = jnp.zeros((n_pad, n_pad), dtype)
 
     groups: dict = {}
     m_act, k = n, 0
@@ -247,59 +359,12 @@ def _band2_windowed(a: jnp.ndarray, nb: int, group: int,
         k += nb
         m_act -= nb
 
-    z32 = jnp.int32(0)
     for g in sorted(groups):
         t0 = (g * group) // tm
-
-        def body(carry, j0, t0=t0):
-            bc, vb, tf, dc, e1c, e2c = carry
-            u_p, w_p, tau_p = _pair_win(bc, j0, t0, nb, interpret)
-            # band extraction from the (nb+2)-sized diagonal block of the
-            # frozen bc plus the panel correction (exact at panel end —
-            # later reflectors start two rows below these entries)
-            dg = lax.dynamic_slice(bc, (j0, j0), (nb + 2, nb + 2))
-
-            def corr(off):
-                u_hi = lax.dynamic_slice(u_p, (j0 + off, z32), (nb, nb))
-                w_hi = lax.dynamic_slice(w_p, (j0 + off, z32), (nb, nb))
-                u_lo = lax.dynamic_slice(u_p, (j0, z32), (nb, nb))
-                w_lo = lax.dynamic_slice(w_p, (j0, z32), (nb, nb))
-                return jnp.sum(u_hi * w_lo + w_hi * u_lo, axis=1)
-
-            d_p = jnp.diagonal(dg)[:nb] - corr(0)
-            e1_p = jnp.diagonal(dg, -1)[:nb] - corr(1)
-            e2_p = jnp.diagonal(dg, -2)[:nb] - corr(2)
-            bc = rank2k_update_window(bc, u_p, w_p, t0=t0,
-                                      interpret=interpret)
-            vb = lax.dynamic_update_slice(vb, u_p, (z32, j0))
-            tf = lax.dynamic_update_slice(tf, tau_p, (j0,))
-            dc = lax.dynamic_update_slice(dc, d_p, (j0,))
-            e1c = lax.dynamic_update_slice(e1c, e1_p, (j0,))
-            e2c = lax.dynamic_update_slice(e2c, e2_p, (j0,))
-            return (bc, vb, tf, dc, e1c, e2c), None
-
         ks = jnp.asarray(groups[g], dtype=jnp.int32)
-        (b, v_big, tau_full, d, e1, e2), _ = lax.scan(
-            body, (b, v_big, tau_full, d, e1, e2), ks)
-
-    # remainder (m <= nb+2): static offset, rolled-style pair panel
-    m = n - k
-    if m > 0:
-        mp = _round_up(m + 2, 2)
-        bp = jnp.zeros((mp, mp), dtype).at[:m, :m].set(
-            lax.slice(b, (k, k), (n, n))[:m, :m])
-        u_p, w_p, tau_p, d_p, e1_p, e2_p = _band2_remainder(bp, m)
-        d = d.at[k : k + m].set(d_p[:m])
-        if m > 1:
-            e1 = e1.at[k : k + m - 1].set(e1_p[: m - 1])
-        if m > 2:
-            e2 = e2.at[k : k + m - 2].set(e2_p[: m - 2])
-        v_big = v_big.at[k:n, k:n].set(u_p[:m, :m])
-        tau_full = tau_full.at[k : k + m].set(tau_p[:m])
-
-    return BandResult(d=d[:n], e1=e1[: max(n - 1, 1)][: n - 1],
-                      e2=e2[: max(n - 2, 1)][: n - 2],
-                      v=v_big[:n, :n], tau=tau_full[:n])
+        b, tau_full, d, e1, e2 = _band2_win_group(
+            b, tau_full, d, e1, e2, ks, nb=nb, t0=t0, interpret=interpret)
+    return _band2_win_finish(b, tau_full, d, e1, e2, k=k, n=n)
 
 
 def band2_reduce(a: jnp.ndarray, nb: int = 64,

@@ -85,11 +85,27 @@ def prd_panel_shard(a_loc, nb: int):
         w_rows = uw_rows[:, nb:]
         cols = cols - u_p @ jnp.conj(w_rows).T - w_p @ jnp.conj(u_rows).T
 
-        # --- two reflectors: pivots c0+2 and c0+3 (eigen_prd_compute_u,
-        #     src/eigen_prd_t4x.F:83) ---
-        v0, tau0, _ = _dist_householder(cols[:, 0], g_x, c0 + 2)
-        v0c1 = psum_x(jnp.sum(jnp.conj(v0) * cols[:, 1]))
-        c1 = cols[:, 1] - jnp.conj(tau0) * v0 * v0c1
+        # --- two reflectors, TSQR-style (eigen_prd_compute_u,
+        #     src/eigen_prd_t4x.F:83): CholeskyQR2 Gram orthogonalization
+        #     of the pair + analytic H0 application — see
+        #     ops/band.pair_reflectors for the numerical argument ---
+        mask0 = g_x > c0 + 1
+        a0 = jnp.where(mask0, cols[:, 0], 0)
+        a1 = jnp.where(mask0, cols[:, 1], 0)
+        t11 = psum_x(jnp.sum(jnp.real(jnp.conj(a0) * a0)))
+        safe_t11 = jnp.where(t11 > 0, t11, 1.0)
+        for _ in range(2):            # CholeskyQR2: twice is enough
+            s12 = psum_x(jnp.sum(jnp.conj(a0) * a1)) / safe_t11
+            a1 = a1 - jnp.where(t11 > 0, s12, 0.0 * s12) * a0
+        v0, tau0, beta0 = _dist_householder(a0, g_x, c0 + 2)
+        piv = psum_x(jnp.stack([
+            jnp.sum(jnp.where(g_x == c0 + 2, a0, 0)),
+            jnp.sum(jnp.where(g_x == c0 + 2, a1, 0))]))
+        # v0ᴴ·a1 = −β0·a1[p0]/conj(α0−β0) by pair orthogonality (the
+        # reference's s = sgm(2)·u_t(5)/bet(2) fix-up, eigen_prd_t4x.F:305)
+        denom0 = jnp.where(tau0 != 0, piv[0] - beta0.astype(dtype), 1.0)
+        vha1 = -beta0.astype(dtype) * piv[1] / jnp.conj(denom0)
+        c1 = a1 - jnp.conj(tau0) * vha1 * v0
         v1, tau1, _ = _dist_householder(c1, g_x, c0 + 3)
         v_pair = jnp.stack([v0, v1], axis=1)          # (m_x, 2)
         v01 = psum_x(jnp.sum(jnp.conj(v0) * v1))
@@ -175,11 +191,12 @@ def comm_model_prd(n_pad: int, nb: int, px: int, py: int, itemsize: int):
     m_x = n_pad // px
     pairs = n_pad // 2
     panels = n_pad // nb
-    # per pair: 2-col bcast (y), uw-rows bcast (x), 3 scalar reduces,
-    # 2-vector datacast, av reduce (y), cuv reduce (x), s reduce (x)
+    # per pair: 2-col bcast (y), uw-rows bcast (x), Gram/CQR2 + pivot
+    # scalar reduces (t11, 2×s12, 2-elem pivots), 2-vector datacast,
+    # av reduce (y), cuv reduce (x), s reduce (x)
     st.record("bcast", pairs * 2 * (m_x + 2 * nb) * itemsize, 2 * pairs)
-    st.record("reduce", pairs * (3 + 2 * m_x + 4 * nb + 4) * itemsize,
-              5 * pairs)
+    st.record("reduce", pairs * (6 + 2 * m_x + 4 * nb + 4) * itemsize,
+              8 * pairs)
     st.record("redist", pairs * 2 * n_pad * itemsize, pairs)
     # per panel: U/W panel datacasts
     st.record("redist", panels * 2 * n_pad * nb * itemsize, 2 * panels)
