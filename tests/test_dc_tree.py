@@ -177,3 +177,15 @@ def test_level_impl_matches_fused_and_chunked():
     np.testing.assert_allclose(np.asarray(w_ch), np.asarray(w_ref),
                                atol=1e-13, rtol=0)
     assert float(jnp.max(jnp.abs(s_ch - s_ref))) < 1e-12
+
+
+def test_impl_dispatch_boundaries():
+    """VERDICT r4 item 9: the FUSED_TREE_MAX_N dispatch boundary, unit-
+    tested via the pure rule (no TPU backend needed)."""
+    from eigenexa_tpu.solvers.dc_tree import FUSED_TREE_MAX_N, _pick_impl
+
+    assert _pick_impl(True, False, 10 ** 6) == "jax"   # CPU: always fused
+    assert _pick_impl(True, True, 10 ** 6) == "jax"
+    assert _pick_impl(False, True, FUSED_TREE_MAX_N) == "jax"
+    assert _pick_impl(False, True, FUSED_TREE_MAX_N + 1) == "level"
+    assert _pick_impl(False, False, 128) == "host"     # TPU f64

@@ -133,3 +133,32 @@ def test_windowed_end_to_end_solve():
         assert checks.orthogonality_check(z2).passed
     finally:
         householder.TRD_IMPL = old
+
+
+def test_windowed_dispatch_memory_rule():
+    """VERDICT r4 item 9: the rolled-vs-windowed boundary as a pure
+    function of (n, device HBM) — testable against mocked memory sizes
+    (the heuristic itself is measured: ~15 f32 n2 rolled whole-solve
+    peak)."""
+    from eigenexa_tpu.ops.householder import (_needs_windowed,
+                                              _rolled_peak_bytes)
+
+    hbm_16g = 16e9
+    assert not _needs_windowed(8192, hbm_16g)    # rolled fits (measured)
+    assert _needs_windowed(16384, hbm_16g)       # rolled OOMs (measured)
+    assert _needs_windowed(32768, hbm_16g)
+    # a 32 GB-class chip keeps the (faster) rolled path at 16384
+    assert not _needs_windowed(16384, 32e9)
+    # boundary is strict: peak exactly at 0.9*HBM stays rolled
+    n = 4096
+    assert not _needs_windowed(n, _rolled_peak_bytes(n) / 0.9)
+
+
+def test_windowed_eligible_gates_backend():
+    """On the CPU suite backend the windowed path must never be chosen
+    by 'auto' (no Pallas TPU kernels) regardless of problem size."""
+    from eigenexa_tpu.ops import householder as hh
+
+    a = jnp.zeros((512, 512), jnp.float32)
+    assert not hh._windowed_eligible(a, 512)
+    assert not hh._windowed_eligible(a, 10 ** 6)
