@@ -172,14 +172,9 @@ def _merge_level(d, q, row0, row1, rho, sgn, vec_dtype, n_iter,
 
 # one compiled program per tree level (shapes differ per level); without
 # this the eager per-op dispatch of a level's merge graph is thousands of
-# small kernels.  q (argnum 1) is donated: its (B, s, s) input bytes equal
-# the (B/2, 2s, 2s) output bytes, so the eager per-level loop updates the
-# eigenvector cascade IN PLACE instead of ping-ponging two n² buffers —
-# required headroom for n=32768 on a 16 GB chip.  (Donation is ignored
-# when traced inside the fused-tree jit.)
+# small kernels
 _merge_level_jit = functools.partial(
-    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype"),
-    donate_argnums=(1,)
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype")
 )(_merge_level)
 
 
@@ -212,9 +207,13 @@ def _merge_level_chunked(d, q, row0, row1, rho, sgn, vec_dtype, n_iter,
     return jax.vmap(merge_one)(d2, q2, r0, r1, rho, sgn)
 
 
+# NOTE on memory: the cascade's level input (B, s, s) holds m·s elements
+# and its output (B/2, 2s, 2s) holds 2·m·s — the output is TWICE the
+# input, so in-place donation across a level is structurally impossible.
+# The eager level loop's natural peak is the top level's in+out ≈ 1.5·n²
+# in vec_dtype, which fits the 16 GB chip at n=32768 f32 (6.4 GB).
 _merge_level_chunked_jit = functools.partial(
-    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype", "panel"),
-    donate_argnums=(1,)
+    jax.jit, static_argnames=("vec_dtype", "n_iter", "work_dtype", "panel")
 )(_merge_level_chunked)
 
 # per-level orchestration: merges at least this wide build C in column

@@ -156,6 +156,11 @@ def matrix_scaling(a: jnp.ndarray):
     return a * sigma, sigma
 
 
+# module-level jit: a fresh jax.jit wrapper per call would re-trace the
+# scaling on every profiled solve
+_matrix_scaling_jit = jax.jit(lambda a: matrix_scaling(a))
+
+
 def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
                 dc_leaf: int = 32, band: int = 1):
     """Traceable solve body (jit-safe for fixed n/mode).
@@ -276,7 +281,7 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
                         "flops": prof.flops.get(name, 0.0)}
 
     t0 = time.perf_counter()
-    a_s, sigma = jax.jit(matrix_scaling)(a)
+    a_s, sigma = _matrix_scaling_jit(a)
     del a
     if band == 2:
         from eigenexa_tpu.ops.band import band2_reduce
