@@ -201,10 +201,13 @@ def _solve_core(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         if mode == "T":
             return w, s[:, :nvec]
         # hand the eigenvector buffer to the back-transform without a
-        # lingering reference (at n=32k every n² buffer counts)
-        z0 = s[:, :nvec] if nvec < n else s
+        # lingering reference (at n=32k every n² buffer counts): the
+        # holder.pop() empties before the callee runs, so the donated /
+        # eagerly-freed buffer has no caller-frame binding left
+        holder = [s[:, :nvec] if nvec < n else s]
         del s
-        z = back_transform(z0, trd.v, trd.tau, nb=nb_b, donate=True)
+        z = back_transform(holder.pop(), trd.v, trd.tau, nb=nb_b,
+                           donate=True)
         return w, z
     if mode == "S":
         eye = jnp.eye(n, nvec, dtype=in_dtype)
@@ -241,9 +244,10 @@ def _solve_core_band2(a_s, sigma, nvec: int, mode: str, nb_f: int,
         w = w / sigma
         if mode == "T":
             return w, s[:, :nvec]
-        z0 = s[:, :nvec] if nvec < n else s
+        holder = [s[:, :nvec] if nvec < n else s]
         del s
-        z = back_transform(z0, prd.v, prd.tau, nb=nb_b, donate=True)
+        z = back_transform(holder.pop(), prd.v, prd.tau, nb=nb_b,
+                           donate=True)
         return w, z
     if mode == "S":
         eye = jnp.eye(n, nvec, dtype=a_s.dtype)
@@ -330,16 +334,16 @@ def _solve_staged(a, nvec: int, mode: str, nb_f: int, nb_b: int,
         _mark("D&C", t0, dc_flop_model(n), w, s)
         if mode == "T":
             return w, s[:, :nvec]
-        z0 = s[:, :nvec] if nvec < n else s
+        holder = [s[:, :nvec] if nvec < n else s]
         del s
     else:
         w = d / sigma
-        z0 = jnp.eye(n, nvec, dtype=in_dtype)
+        holder = [jnp.eye(n, nvec, dtype=in_dtype)]
         if mode == "C":
-            return w, z0
+            return w, holder.pop()
 
     t0 = time.perf_counter()
-    z = back_transform(z0, red.v, red.tau, nb=nb_b, donate=True)
+    z = back_transform(holder.pop(), red.v, red.tau, nb=nb_b, donate=True)
     _mark("TRDBAK", t0, 2.0 * nvec * n ** 2, z)
     return w, z
 

@@ -51,11 +51,52 @@ def back_transform(z: jnp.ndarray, v: jnp.ndarray, tau: jnp.ndarray,
     if nblocks <= _UNROLL_MAX_BLOCKS:
         return _back_transform_unrolled(z, v, tau, nb=nb)
     if not donate:
-        # the chunked jit donates z (its working eigenvector buffer
+        # the chunked jits donate z (their working eigenvector buffer
         # aliases it — one n² saved at the sizes this path serves); the
         # public default stays non-destructive via a copy
         z = z + jnp.zeros((), z.dtype)
+    # the row-chunked program peaks at ~3×Z + V (Z, a row-slice and its
+    # ping-pong partner all live at the full-height chunk); when that
+    # exceeds the device memory (n=32768 f32 full spectrum: 18.6 GB on a
+    # 15.75 GB chip, measured by the XLA compile-time OOM), split the
+    # eigenvector COLUMNS and run the same program per column block —
+    # peak drops to pieces + V + working ≈ 2×Z·(1+1/c) + V
+    from eigenexa_tpu.ops.householder import _hbm_bytes
+
+    if 3 * z.nbytes + v.nbytes > 0.85 * _hbm_bytes():
+        return _back_transform_colchunked(z, v, tau, nb=nb)
     return _back_transform_chunked(z, v, tau, nb=nb)
+
+
+def _back_transform_colchunked(z, v, tau, nb: int, n_cchunks: int = 8):
+    """Eager column-chunked TRBAK, IN PLACE on a donated Z: the WY blocks
+    act independently on each eigenvector column, so each call of
+    `_bt_cols_inplace` slices one column block out of Z, runs the
+    row-chunked application on it, and writes it back — the output
+    aliases the donated Z, so ONE n·nvec buffer serves the whole stage
+    and peak memory is Z + V + an O(n·nvec/c) working block.  (A
+    concatenate-the-pieces formulation peaks at input+output+V ≈ 3·n²
+    and RESOURCE_EXHAUSTs the 16 GB chip at n=32768 full-spectrum —
+    measured.)  The column offset is a traced scalar: one compiled
+    program serves every block.  The reference's trbakwy4 equally tiles
+    Z columns per process column (src/trbakwy4.F:77)."""
+    nvec = z.shape[1]
+    cw = -(-nvec // n_cchunks)
+    c0 = 0
+    while c0 < nvec:
+        w = min(cw, nvec - c0)  # tail block may be narrower (2nd compile)
+        z = _bt_cols_inplace(z, v, tau, jnp.int32(c0), cw=w, nb=nb)
+        c0 += w
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("cw", "nb"),
+                   donate_argnums=(0,))
+def _bt_cols_inplace(z, v, tau, c0, cw: int, nb: int):
+    """Apply the full WY chain to columns [c0, c0+cw) of Z in place."""
+    zc = lax.dynamic_slice(z, (jnp.int32(0), c0), (z.shape[0], cw))
+    zc = _bt_rows(zc, v, tau, nb, 8)
+    return lax.dynamic_update_slice(z, zc, (jnp.int32(0), c0))
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
@@ -80,6 +121,11 @@ def _back_transform_unrolled(z, v, tau, nb: int):
 @functools.partial(jax.jit, static_argnames=("nb", "n_chunks"),
                    donate_argnums=(0,))
 def _back_transform_chunked(z, v, tau, nb: int, n_chunks: int = 8):
+    """jit wrapper over `_bt_rows` (donates z)."""
+    return _bt_rows(z, v, tau, nb, n_chunks)
+
+
+def _bt_rows(z, v, tau, nb: int, n_chunks: int):
     """Blocks grouped into n_chunks static row extents; within a chunk
     every block slice is STATIC (row start coarsened to the chunk start),
     so the program has only n_chunks distinct GEMM shapes — compile size

@@ -270,7 +270,9 @@ def test_production_chunking_n8192():
     w = np.asarray(w_full)[:n]
     w_ref = scipy.linalg.eigh_tridiagonal(
         np.asarray(d), np.asarray(e), eigvals_only=True)
-    np.testing.assert_allclose(w, w_ref, atol=1e-10)
+    # n·ε·‖T‖ ≈ 2e-10 at this size, and scipy's bisection reference
+    # carries its own error of the same order — bound at 50× that
+    np.testing.assert_allclose(w, w_ref, atol=1e-8)
     # subset residual/orthogonality (a full n^3 check would dominate the
     # suite wall-clock; 512 columns bound the error the same way)
     cols = np.sort(rng.choice(n, 512, replace=False))
