@@ -251,7 +251,7 @@ def test_production_chunking_n8192():
 
     def compiled(chunk_min):
         body = functools.partial(
-            dc_dist._dc_tree_shard, leaf=32, leaf_kind="eigh", n_iter=16,
+            dc_dist._dc_tree_shard, leaf=32, leaf_kind="eigh", n_iter=40,  # production default for f64 (dc_dist)
             work_dtype=jnp.float64, vec_dtype=jnp.float64,
             px=4, py=2, rloc=rloc,
             chunk_min=chunk_min, chunk_panel=dc_dist._CHUNK_PANEL)
