@@ -43,9 +43,14 @@ class CheckResult:
         return f"<{self.name}: {self.value:.4g} {self.status()}>"
 
 
-def residual_check(a, z, w, nvec: Optional[int] = None) -> CheckResult:
+def residual_check(a, z, w, nvec: Optional[int] = None,
+                   col_chunk: int = 0) -> CheckResult:
     """‖AZ−ZW‖_F / (N·ε·‖A‖_F) with PASS<768 / FAIL>1024
-    (reference: benchmark/ev_test.f:182-190)."""
+    (reference: benchmark/ev_test.f:182-190).
+
+    `col_chunk` > 0 streams Z in column blocks (Frobenius norms add in
+    quadrature) — the memory path for n ≥ 32k full-spectrum checks on a
+    16 GB chip, where A + Z + the A·Z product exceed the HBM."""
     n = a.shape[0]
     if nvec is not None:
         z = z[:, :nvec]
@@ -56,23 +61,50 @@ def residual_check(a, z, w, nvec: Optional[int] = None) -> CheckResult:
     # rounding, not the solver's (the reference measures in the solve
     # precision, benchmark/ev_test.f)
     with jax.default_matmul_precision("highest"):
-        r = a @ z - z * w[None, :].astype(z.dtype)
-        num = jnp.linalg.norm(r)
+        if col_chunk and z.shape[1] > col_chunk:
+            num2 = 0.0
+            for c0 in range(0, z.shape[1], col_chunk):
+                zc = z[:, c0:c0 + col_chunk]
+                wc = w[c0:c0 + col_chunk]
+                rc = a @ zc - zc * wc[None, :].astype(z.dtype)
+                num2 += float(jnp.sum(jnp.abs(rc) ** 2))
+            num = num2 ** 0.5
+        else:
+            r = a @ z - z * w[None, :].astype(z.dtype)
+            num = jnp.linalg.norm(r)
         den = n * eps * jnp.linalg.norm(a)
     val = float(num / den)
     return CheckResult("residual", val, val < 768.0, val > 1024.0)
 
 
-def orthogonality_check(z, nvec: Optional[int] = None) -> CheckResult:
+def orthogonality_check(z, nvec: Optional[int] = None,
+                        col_chunk: int = 0) -> CheckResult:
     """‖ZᵀZ−I‖_F / (N·ε) with PASS<8 / FAIL>32
-    (reference: benchmark/ev_test.f:196-204)."""
+    (reference: benchmark/ev_test.f:196-204).
+
+    `col_chunk` > 0 streams the Gram matrix in column blocks (see
+    residual_check) — avoids materializing the n×n Gram at 32k."""
     n = z.shape[0]
     if nvec is not None:
         z = z[:, :nvec]
     eps = float(jnp.finfo(z.dtype).eps)
+    m = z.shape[1]
     with jax.default_matmul_precision("highest"):
-        g = z.conj().T @ z - jnp.eye(z.shape[1], dtype=z.dtype)
-        val = float(jnp.linalg.norm(g) / (n * eps))
+        if col_chunk and m > col_chunk:
+            val2 = 0.0
+            for c0 in range(0, m, col_chunk):
+                zc = z[:, c0:c0 + col_chunk]
+                gc = z.conj().T @ zc
+                cw = gc.shape[1]
+                # gc − I_c without materializing the m×cw identity (a
+                # sum-then-correct formulation cancels catastrophically:
+                # Σ|gc|² is O(cw) while the target is O(ε²))
+                gc = gc.at[c0 + jnp.arange(cw), jnp.arange(cw)].add(-1.0)
+                val2 += float(jnp.sum(jnp.abs(gc) ** 2))
+            val = (val2 ** 0.5) / (n * eps)
+        else:
+            g = z.conj().T @ z - jnp.eye(m, dtype=z.dtype)
+            val = float(jnp.linalg.norm(g) / (n * eps))
     return CheckResult("orthogonality", val, val < 8.0, val > 32.0)
 
 

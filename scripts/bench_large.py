@@ -55,15 +55,21 @@ def main():
         for k, v in info.stages.items():
             print(f"  {k}: {v['seconds']:.3f} s", flush=True)
 
-    # warm re-run for the honest number
+    # warm re-run for the honest number (drop the first solve's Z first:
+    # at 32k a lingering n² buffer OOMs the next solve)
+    del w, z
     w, z, info = solver(frank(n, dtype=jnp.float32), ctx=ctx)
     model_flops = (4.0 / 3.0 + 2.0) * n ** 3
     print(f"warm solve: {info.elapsed:.3f} s  "
           f"model {model_flops/info.elapsed/1e9:.0f} GFLOP/s", flush=True)
 
     a = frank(n, dtype=jnp.float32)
-    r = residual_check(a, z, w)
-    o = orthogonality_check(z)
+    # column-streamed checks: at n=32k, A + Z + the A·Z product would
+    # exceed the 15.75 GB HBM in one shot
+    cc = 4096 if n >= 32768 else 0
+    r = residual_check(a, z, w, col_chunk=cc)
+    del a  # one fewer n² buffer for the Gram pass
+    o = orthogonality_check(z, col_chunk=cc)
     wchk = eigenvalue_check_scaled(w, w_true)
     print(f"residual {r.value:.3f} {r.status()} | "
           f"ortho {o.value:.3f} {o.status()} | "
