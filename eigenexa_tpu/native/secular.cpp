@@ -267,6 +267,20 @@ void merge_one(const double* d, const double* z, double rho, int m,
       zh[j] = (za[j] >= 0.0) ? val : -val;
     }
 
+    // numerically-on-pole demotion (see ops/secular.rank1_merge_core):
+    // mu below the 1/delta guard, or a dead zhat at the root's dominant
+    // coordinate (self when the shift is at its own pole, next-active
+    // when the root clings to the upper pole), means the secular column
+    // formula loses its dominant entry and builds a garbage direction -
+    // the correct vector is the unit column at that dominant pole.
+    std::vector<char> onp(k, 0);
+    std::vector<int> dom(k, 0);
+    for (int i = 0; i < k; ++i) {
+      int dm_i = (shift[i] == da[i]) ? i : std::min(i + 1, k - 1);
+      dom[i] = dm_i;
+      if (zh[dm_i] == 0.0 || std::fabs(mu[i]) <= TINY) onp[i] = 1;
+    }
+
     // eigenvector columns on the active set — two row-major passes so
     // writes stay cache-friendly (pass 1: column norms; pass 2: fill)
     std::vector<double> nrm2(k, 0.0);
@@ -310,6 +324,10 @@ void merge_one(const double* d, const double* z, double rho, int m,
       double zj = zh[j];
       double* row = &cw[(size_t)aidx[j] * m];
       for (int i = 0; i < k; ++i) {
+        if (onp[i]) {
+          row[aidx[i]] = (dom[i] == j) ? 1.0 : 0.0;
+          continue;
+        }
         double delta = (da[j] - shift[i]) - mu[i];
         double inv = (std::fabs(delta) > TINY)
             ? 1.0 / delta : ((delta >= 0.0) ? 1.0 / TINY : -1.0 / TINY);

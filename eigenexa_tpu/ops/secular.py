@@ -303,6 +303,23 @@ def rank1_merge_core(d, z, rho, n_iter: int = 40,
     z_sign = jnp.where(zr >= 0, 1.0, -1.0)
     zh = _zhat(ds, d1, mu, rho, active, z_sign)
 
+    # ---- numerically-on-pole demotion ----
+    # A root can converge numerically ONTO a pole: μ underflows below the
+    # 1/δ guard, or the Gu ẑ at its dominant coordinate underflows to 0 —
+    # the column formula ẑ_j/(d_j−λ) then loses its dominant entry and
+    # builds a GARBAGE direction while λ itself is fine (observed at
+    # n=8192: ρ|z| a hair above the deflation tol, μ ~ 1e-295, unit
+    # vector at a far coordinate, eigenpair residual O(1); LAPACK's
+    # dlaed2 deflates these).  The dominant coordinate is the root's own
+    # pole when the shift sits there (λ → d_self), or the NEXT-ACTIVE
+    # pole when the shift is at the upper end (λ → d_next, μ → 0⁻); the
+    # true eigenvector is the corresponding unit vector + O(ε).
+    idx_m = jnp.arange(m)
+    nxt_dom = jnp.clip(_secular_next_active(active), 0, m - 1)
+    dom = jnp.where(shift_d == ds, idx_m, nxt_dom)
+    on_pole = active & ((jnp.abs(mu) <= TINY) | (zh[dom] == 0))
+    act_vec = active & ~on_pole
+
     # eigenvector matrix U in rotated-sorted coordinates
     delta = d1 - mu[None, :]                    # d_j − λ_i, accurate
     act2 = active[:, None] & active[None, :]
@@ -312,9 +329,10 @@ def rank1_merge_core(d, z, rho, n_iter: int = 40,
     u = jnp.where(zh[:, None] != 0, zh[:, None] * inv, 0.0)
     cnorm = jnp.sqrt(jnp.sum(u * u, axis=0))
     u = u / jnp.where(cnorm > 0, cnorm, 1.0)[None, :]
-    # deflated columns: exact unit vectors
-    eye_cols = (jnp.arange(m)[:, None] == jnp.arange(m)[None, :]).astype(wdt)
-    u = jnp.where(active[None, :], u, eye_cols)
+    # deflated columns: unit at self; on-pole-demoted: unit at dominant
+    tgt = jnp.where(on_pole, dom, idx_m)
+    eye_cols = (idx_m[:, None] == tgt[None, :]).astype(wdt)
+    u = jnp.where(act_vec[None, :], u, eye_cols)
 
     lam = jnp.where(active, shift_d + mu, ds)
 
@@ -419,6 +437,13 @@ def rank1_merge_apply_parts(d, z, rho, parts, n_iter: int = 40,
     diag_term = -(ds - shift_all) + mu_all        # λ_j − d_j
     z2h = jnp.maximum(diag_term * prod / rho, 0.0)
     zh = jnp.where(active, z_sign * jnp.sqrt(z2h), 0.0)
+    # numerically-on-pole demotion (see rank1_merge_core): μ below the
+    # 1/δ guard or dead ẑ at the dominant coordinate ⇒ unit column at
+    # the dominant pole (self when shift at own pole, next-active when
+    # the root clings to the upper pole)
+    nxt_dom = jnp.clip(_secular_next_active(active), 0, m - 1)
+    dom = jnp.where(shift_all == ds, idx, nxt_dom)
+    on_pole = active & ((jnp.abs(mu_all) <= TINY) | (zh[dom] == 0))
 
     # ---- pass 2: final-column panels, GEMMed immediately ----
     row_ids_all = tuple(
@@ -436,8 +461,9 @@ def rank1_merge_apply_parts(d, z, rho, parts, n_iter: int = 40,
         u = jnp.where(zh[:, None] != 0, zh[:, None] * inv, 0.0)
         cnorm = jnp.sqrt(jnp.sum(u * u, axis=0))
         u = u / jnp.where(cnorm > 0, cnorm, 1.0)[None, :]
-        eye_pan = (idx[:, None] == rid[None, :]).astype(wdt)
-        u = jnp.where(act_c[None, :], u, eye_pan)
+        tgt_c = jnp.where(on_pole[rid], dom[rid], rid)
+        eye_pan = (idx[:, None] == tgt_c[None, :]).astype(wdt)
+        u = jnp.where((act_c & ~on_pole[rid])[None, :], u, eye_pan)
         u = apply_run_rotation(u, u_hat, leaders)
         out = []
         for (mat, _off), row_ids, acc in zip(parts, row_ids_all, carry):

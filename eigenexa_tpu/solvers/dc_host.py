@@ -194,6 +194,17 @@ def merge_core_np(d, z, rho, n_iter: int = 12):
         u = zh[:, None] * inv
         cnorm = np.sqrt(np.sum(u * u, axis=0))
         u = u / np.where(cnorm > 0, cnorm, 1.0)[None, :]
+        # numerically-on-pole demotion (see ops/secular.rank1_merge_core):
+        # μ below the 1/δ guard or dead ẑ at the dominant coordinate ⇒
+        # unit column at the dominant pole (self when shift at own pole,
+        # next-active when the root clings to the upper pole)
+        kk = np.arange(k)
+        dom = np.where(shift_d == da, kk, np.minimum(kk + 1, k - 1))
+        on_pole = (np.abs(mu) <= TINY) | (zh[dom] == 0)
+        op = np.nonzero(on_pole)[0]
+        if op.size:
+            u[:, op] = 0.0
+            u[dom[op], op] = 1.0
         lam[aidx] = shift_d + mu
         c[np.ix_(aidx, aidx)] = u
 

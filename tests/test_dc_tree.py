@@ -189,3 +189,55 @@ def test_impl_dispatch_boundaries():
     assert _pick_impl(False, True, FUSED_TREE_MAX_N) == "jax"
     assert _pick_impl(False, True, FUSED_TREE_MAX_N + 1) == "level"
     assert _pick_impl(False, False, 128) == "host"     # TPU f64
+
+
+@pytest.mark.parametrize("fixture", ["onpole_own", "onpole_upper"])
+def test_on_pole_merge_vectors(fixture):
+    """Regression: secular roots that converge numerically ONTO a pole
+    (μ underflow / dead Gu ẑ at the dominant coordinate) must yield unit
+    eigenvector columns, not the 0/0 secular formula.  The fixtures are
+    REAL merge inputs extracted from the n=8192 random-tridiagonal tree
+    (round 5): 'own' is a barely-active coordinate whose root sticks to
+    its own pole (μ ~ 1e-295); 'upper' a root clinging to the next-active
+    pole.  Pre-fix these produced eigenpairs with O(1) residuals — the 4
+    broken pairs of the n=8192 solve — in ALL three implementations
+    (jax core, chunked parts, host/native)."""
+    import os
+
+    from eigenexa_tpu.ops import secular as S
+    from eigenexa_tpu.solvers.dc_host import merge_batch
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        fixture + ".npz")
+    dd = np.load(path)
+    dm, z, rho = dd["dm"], dd["z"], float(dd["rho"])
+    m = dm.shape[0]
+    wt = np.linalg.eigvalsh(np.diag(dm) + rho * np.outer(z, z))
+    tol_res = 1e-11 * max(np.abs(dm).max(), 1.0)
+
+    core = S.rank1_merge_core(jnp.asarray(dm), jnp.asarray(z),
+                              jnp.asarray(rho), n_iter=40,
+                              work_dtype=jnp.float64)
+    lam = np.asarray(core.lam)
+    cu = np.zeros((m, m))
+    cu[np.asarray(core.perm), :] = np.asarray(core.c)
+    mcu = dm[:, None] * cu + rho * np.outer(z, z @ cu)
+    res = np.linalg.norm(mcu - cu * lam[None, :], axis=0)
+    assert res.max() < tol_res, res.max()
+    assert np.abs(cu.T @ cu - np.eye(m)).max() < 1e-12
+    np.testing.assert_allclose(np.sort(lam), wt, atol=1e-12)
+
+    # chunked parts path must agree with the core
+    eye = jnp.eye(m, dtype=jnp.float64)
+    lam2, (cp,) = S.rank1_merge_apply_parts(
+        jnp.asarray(dm), jnp.asarray(z), jnp.asarray(rho),
+        parts=((eye, 0),), n_iter=40, work_dtype=jnp.float64, panel=32)
+    assert float(jnp.max(jnp.abs(lam2 - jnp.asarray(lam)))) == 0.0
+    assert float(jnp.max(jnp.abs(cp - jnp.asarray(cu)))) < 1e-14
+
+    # host twin (native C++ when available)
+    lamh, ch = merge_batch(dm[None, :], z[None, :], np.array([rho]), 40)
+    mch = dm[:, None] * ch[0] + rho * np.outer(z, z @ ch[0])
+    resh = np.linalg.norm(mch - ch[0] * np.asarray(lamh[0])[None, :],
+                          axis=0)
+    assert resh.max() < tol_res, resh.max()
