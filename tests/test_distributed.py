@@ -246,3 +246,41 @@ def test_distributed_eigen_h_n1024():
     assert r.passed and o.passed, (r, o)
     w_ref = np.linalg.eigvalsh(np.asarray(a))
     np.testing.assert_allclose(np.sort(np.asarray(w)), w_ref, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_distributed_eigen_gev_n1024():
+    """VERDICT r4 item 7: distributed GEV at four-digit n on the CPU mesh
+    — thresholds, eigenvalues vs scipy, bitwise double-run, and the
+    with_info telemetry (unified gev_flop_model + merged COMM_STAT,
+    reference: KMATH_EIGEN_GEV_1.F:117-150)."""
+    import scipy.linalg
+
+    from eigenexa_tpu.parallel.distributed import distributed_eigen_gev
+    from eigenexa_tpu.solvers.gev import gev_flop_model
+
+    n = 1024
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((n, n))
+    a = jnp.asarray((a + a.T) / 2)
+    f = rng.standard_normal((n, n)) / np.sqrt(n)
+    b = jnp.asarray(f @ f.T + np.eye(n))
+    mesh = build_mesh(devices=jax.devices()[:8], shape=(4, 2))
+    cfg = SolverConfig(panel_forward=32, panel_backward=64)
+    w, z, info = distributed_eigen_gev(a, b, mesh, config=cfg,
+                                       with_info=True)
+    r = checks.gev_residual_check(a, b, z, w)
+    bo = checks.b_orthogonality_check(z, b)
+    assert r.passed and bo.passed, (r, bo)
+    w_ref = scipy.linalg.eigh(np.asarray(a), np.asarray(b),
+                              eigvals_only=True)
+    np.testing.assert_allclose(np.sort(np.asarray(w)), w_ref, atol=5e-9)
+    # telemetry contract
+    assert info.flops == gev_flop_model(n, n, "A")
+    assert info.elapsed > 0
+    assert info.comm_stats is not None and info.comm_stats.total_count() > 0
+    assert info.comm_time > 0
+    # bitwise double-run (reference contract, benchmark_h double-run)
+    w2, z2 = distributed_eigen_gev(a, b, mesh, config=cfg)
+    assert bool(jnp.array_equal(w, w2))
+    assert bool(jnp.array_equal(z, z2))
