@@ -56,9 +56,15 @@ def main():
             print(f"  {k}: {v['seconds']:.3f} s", flush=True)
 
     # warm re-run for the honest number (drop the first solve's Z first:
-    # at 32k a lingering n² buffer OOMs the next solve)
+    # at 32k a lingering n² buffer OOMs the next solve); with --profile
+    # the warm run is staged too, so the split excludes compile/cache-
+    # deserialization costs
     del w, z
-    w, z, info = solver(frank(n, dtype=jnp.float32), ctx=ctx)
+    w, z, info = solver(frank(n, dtype=jnp.float32), ctx=ctx,
+                        profile=profile)
+    if profile and info.stages:
+        for k, v in info.stages.items():
+            print(f"  warm {k}: {v['seconds']:.3f} s", flush=True)
     model_flops = (4.0 / 3.0 + 2.0) * n ** 3
     print(f"warm solve: {info.elapsed:.3f} s  "
           f"model {model_flops/info.elapsed/1e9:.0f} GFLOP/s", flush=True)

@@ -66,6 +66,25 @@ for shape in shapes:
     assert resid < 768 and ortho < 8, (shape, resid, ortho)
     print("tridiag ok", shape, flush=True)
 
+# end-to-end distributed_eigen_s on the first shape (full pipeline:
+# shard_map TRD + tree + TRBAK across 4-5 group levels)
+from eigenexa_tpu.parallel.distributed import distributed_eigen_s
+from eigenexa_tpu.runtime import SolverConfig
+from eigenexa_tpu.testing import checks, matgen
+
+ne = 256
+ae = matgen.frank(ne, jnp.float64)
+mesh_e = build_mesh(devices=jax.devices()[: shapes[0][0] * shapes[0][1]],
+                    shape=shapes[0])
+we, ze = distributed_eigen_s(
+    ae, mesh_e, config=SolverConfig(panel_forward=32, panel_backward=64))
+re_ = checks.residual_check(ae, ze, we)
+oe = checks.orthogonality_check(ze)
+assert re_.passed and oe.passed, (re_, oe)
+wchk = checks.eigenvalue_check(we, matgen.frank_spectrum(ne))
+assert wchk.passed or wchk.caution, wchk
+print("e2e eigen_s ok", shapes[0], flush=True)
+
 # band-2 tree on the last shape (deepest grouped levels)
 e2v = jnp.asarray(rng.standard_normal(n - 2))
 band = np.zeros((3, n))
