@@ -160,6 +160,32 @@ def main():
             del a_l, z_l
         except Exception as e:  # pragma: no cover - report, don't fail
             large = {"n16384_error": str(e)[:120]}
+        # the BASELINE-tracked size: n=32768 full-spectrum on one chip
+        # (r05).  Warm-cache only; checks are column-streamed so
+        # A + Z + A·Z never coexist on the 16 GB chip.
+        try:
+            n_x = 32768
+            w_x, z_x, info_x = eigen_s(frank(n_x, dtype=jnp.float32),
+                                       ctx=ctx)
+            del w_x, z_x
+            w_x, z_x, info_x = eigen_s(frank(n_x, dtype=jnp.float32),
+                                       ctx=ctx)
+            a_x = frank(n_x, dtype=jnp.float32)
+            r_x = residual_check(a_x, z_x, w_x, col_chunk=4096)
+            del a_x
+            o_x = orthogonality_check(z_x, col_chunk=4096)
+            wc_x = eigenvalue_check_scaled(w_x, frank_spectrum(n_x))
+            large.update({
+                "n32768_time_s": round(info_x.elapsed, 3),
+                "n32768_model_gflops": round(
+                    (4.0 / 3.0 + 2.0) * n_x ** 3 / info_x.elapsed / 1e9,
+                    1),
+                "n32768_pass": bool(r_x.passed and o_x.passed
+                                    and wc_x.passed),
+            })
+            del z_x
+        except Exception as e:  # pragma: no cover - report, don't fail
+            large["n32768_error"] = str(e)[:120]
     print(
         json.dumps(
             {
