@@ -209,8 +209,11 @@ def eigen_h_realpair(
     n = a_re.shape[0]
     nvec = n if nvec is None else min(nvec, n)
     t0 = time.perf_counter()
-    m = embed_hermitian(a_re, a_im)
-    w2, v2, _ = eigen_s(m, nvec=2 * nvec if mode != "N" else None,
+    # hand the 2n×2n embedding over without a caller-frame binding: at
+    # n=16384 the pinned 4.3 GB matrix plus the 32k real solve's working
+    # set exceeds the chip (the holder empties before eigen_s runs)
+    holder = [embed_hermitian(a_re, a_im)]
+    w2, v2, _ = eigen_s(holder.pop(), nvec=2 * nvec if mode != "N" else None,
                         mode=mode, ctx=ctx)
     w = 0.5 * (w2[0::2] + w2[1::2])
     z = None

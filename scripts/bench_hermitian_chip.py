@@ -50,18 +50,45 @@ def main():
         repro = (bool(jnp.array_equal(w, w2))
                  and bool(jnp.array_equal(z[0], z2[0]))
                  and bool(jnp.array_equal(z[1], z2[1])))
-        zr = np.asarray(z[0], np.float64)
-        zi = np.asarray(z[1], np.float64)
-        zc = zr + 1j * zi
+        del w2, z2
+        # device-side checks through the real pair (a host complex GEMM
+        # at n=16384 takes ~40 min; the chip streams it in seconds):
+        #   A·Z = (Ar·Zr − Ai·Zi) + i·(Ar·Zi + Ai·Zr)
+        ar = jnp.asarray(np.ascontiguousarray(h.real.astype(np.float32)))
+        ai = jnp.asarray(np.ascontiguousarray(h.imag.astype(np.float32)))
+        zr_d, zi_d = z[0], z[1]
+        wd = jnp.asarray(np.asarray(w, np.float32))
+        cc = 4096
+        num2 = 0.0
+        g2 = 0.0
+        with jax.default_matmul_precision("highest"):
+            hn = float(jnp.sqrt(jnp.sum(ar * ar) + jnp.sum(ai * ai)))
+            for c0 in range(0, n, cc):
+                zrc = zr_d[:, c0:c0 + cc]
+                zic = zi_d[:, c0:c0 + cc]
+                wc = wd[c0:c0 + cc]
+                rr = ar @ zrc - ai @ zic - zrc * wc[None, :]
+                ri = ar @ zic + ai @ zrc - zic * wc[None, :]
+                num2 += float(jnp.sum(rr * rr) + jnp.sum(ri * ri))
+                # Gram block: Zᴴ·Z_c = (Zrᵀ Zr_c + Ziᵀ Zi_c)
+                #             + i·(Zrᵀ Zi_c − Ziᵀ Zr_c)
+                gr = zr_d.T @ zrc + zi_d.T @ zic
+                gi = zr_d.T @ zic - zi_d.T @ zrc
+                cw = gr.shape[1]
+                gr = gr.at[c0 + jnp.arange(cw), jnp.arange(cw)].add(-1.0)
+                g2 += float(jnp.sum(gr * gr) + jnp.sum(gi * gi))
+        eps = np.finfo(np.float32).eps
+        resid = num2 ** 0.5 / (n * eps * hn)
+        ortho = g2 ** 0.5 / (n * eps)
     else:
         repro = bool(jnp.array_equal(w, w2)) and bool(
             jnp.array_equal(z, z2))
         zc = np.asarray(z)
-    wv = np.asarray(w, np.float64)
-    eps = np.finfo(np.float32).eps
-    hn = np.linalg.norm(h)
-    resid = np.linalg.norm(h @ zc - zc * wv[None, :]) / (n * eps * hn)
-    ortho = np.linalg.norm(zc.conj().T @ zc - np.eye(n)) / (n * eps)
+        wv = np.asarray(w, np.float64)
+        eps = np.finfo(np.float32).eps
+        hn = np.linalg.norm(h)
+        resid = np.linalg.norm(h @ zc - zc * wv[None, :]) / (n * eps * hn)
+        ortho = np.linalg.norm(zc.conj().T @ zc - np.eye(n)) / (n * eps)
     print(f"residual {resid:.3f} {'PASSED' if resid < 768 else 'FAILED'}"
           f" | ortho {ortho:.3f} {'PASSED' if ortho < 8 else 'FAILED'}"
           f" | repro_bitwise {repro}", flush=True)
