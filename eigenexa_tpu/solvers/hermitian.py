@@ -211,8 +211,12 @@ def eigen_h_realpair(
     t0 = time.perf_counter()
     # hand the 2n×2n embedding over without a caller-frame binding: at
     # n=16384 the pinned 4.3 GB matrix plus the 32k real solve's working
-    # set exceeds the chip (the holder empties before eigen_s runs)
+    # set exceeds the chip (the holder empties before eigen_s runs).
+    # The input halves are dropped too — when eigen_h passed fresh device
+    # arrays (the numpy-complex route) this frees another 2·n² before the
+    # solve; tuple/ComplexPair callers keep their own references.
     holder = [embed_hermitian(a_re, a_im)]
+    del a_re, a_im
     w2, v2, _ = eigen_s(holder.pop(), nvec=2 * nvec if mode != "N" else None,
                         mode=mode, ctx=ctx)
     w = 0.5 * (w2[0::2] + w2[1::2])
