@@ -70,7 +70,37 @@ def cgram(zr, zi) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return gr, gi
 
 
-def newton_schulz_unitarize(zr, zi, iters: int = 2):
+import functools as _ft
+
+import jax as _jax
+
+
+@_ft.partial(_jax.jit)
+def pair_defect(zr, zi):
+    """max|ZᴴZ − I| for split-complex Z — the pre-polish defect, without
+    materializing an identity or a stacked copy (at n=16k those are n²
+    transients the chip cannot spare)."""
+    k = zr.shape[1]
+    dg = jnp.arange(k)
+    gr, gi = cgram(zr, zi)
+    gr = gr.at[dg, dg].add(-1.0)
+    return jnp.maximum(jnp.max(jnp.abs(gr)), jnp.max(jnp.abs(gi)))
+
+
+@_ft.partial(_jax.jit, static_argnames=("iters",), donate_argnums=(0, 1))
+def _ns_polish(zr, zi, iters: int):
+    k = zr.shape[1]
+    dg = jnp.arange(k)
+    for _ in range(iters):
+        gr, gi = cgram(zr, zi)
+        # (3I − G)/2 without an eye: −G/2 then +3/2 on the diagonal
+        cr = (-0.5 * gr).at[dg, dg].add(1.5)
+        ci = -0.5 * gi
+        zr, zi = cmatmul(zr, zi, cr, ci)
+    return zr, zi
+
+
+def newton_schulz_unitarize(zr, zi, iters: int = 2, donate: bool = False):
     """Löwdin orthonormalization Z·(ZᴴZ)^{-1/2} by Newton–Schulz:
     Z ← Z·(3I − ZᴴZ)/2, quadratically convergent for ‖ZᴴZ − I‖₂ < 1.
 
@@ -79,15 +109,12 @@ def newton_schulz_unitarize(zr, zi, iters: int = 2):
     picking one real column per pair is only orthogonal across exact
     pairs).  Returns (zr, zi, defect) where defect = max|ZᴴZ − I| BEFORE
     the polish — callers use it to detect a (rank-deficient) pathological
-    pick that Newton–Schulz cannot repair.
+    pick that Newton–Schulz cannot repair.  donate=True lets the polish
+    reuse the input buffers (the large-n memory path); the default copies.
     """
-    k = zr.shape[1]
-    eye = jnp.eye(k, dtype=zr.dtype)
-    gr, gi = cgram(zr, zi)
-    defect = jnp.max(jnp.abs(jnp.stack([gr - eye, gi])))
-    for _ in range(iters):
-        cr = 0.5 * (3.0 * eye - gr)
-        ci = -0.5 * gi
-        zr, zi = cmatmul(zr, zi, cr, ci)
-        gr, gi = cgram(zr, zi)
+    defect = pair_defect(zr, zi)
+    if not donate:
+        zr = zr + jnp.zeros((), zr.dtype)
+        zi = zi + jnp.zeros((), zi.dtype)
+    zr, zi = _ns_polish(zr, zi, iters=iters)
     return zr, zi, defect

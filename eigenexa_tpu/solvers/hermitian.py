@@ -222,14 +222,13 @@ def eigen_h_realpair(
     w = 0.5 * (w2[0::2] + w2[1::2])
     z = None
     if mode != "N":
+        from eigenexa_tpu.ops.zreal import pair_defect
+
         zr = v2[:n, 0::2]
         zi = v2[n:, 0::2]
         # the polish must NOT run at the TPU's default bf16 matmul
         # precision: its own GEMM noise (~1e-3) would swamp the ~1e-5
-        # defect it is correcting
-        with jax.default_matmul_precision(
-                (ctx or default_context()).config.matmul_precision):
-            zr, zi, defect = newton_schulz_unitarize(zr, zi, iters=2)
+        # defect it is correcting.
         # 0.3 separates two regimes with a >10× margin each side: a
         # pathological pick (two extracted columns [nearly] collinear in
         # C^n) puts a ~1 off-diagonal in the Gram matrix, so the
@@ -237,12 +236,23 @@ def eigen_h_realpair(
         # Newton–Schulz cannot repair it (rank defect; convergence needs
         # ‖ZᴴZ−I‖₂ < 1).  A clean extraction's defect is within-pair
         # rounding noise, measured ≤ ~1e-2 at f32 (tests assert both
-        # regimes: tests/test_hermitian_embed.py::test_defect_threshold_*)
-        if float(defect) > 0.3:
-            zfix = _host_cluster_fix(
-                w, zr, zi, v2, eps=float(jnp.finfo(zr.dtype).eps))
-            zr = jnp.asarray(np.ascontiguousarray(zfix.real))
-            zi = jnp.asarray(np.ascontiguousarray(zfix.imag))
+        # regimes: tests/test_hermitian_embed.py::test_defect_threshold_*).
+        # The defect is measured BEFORE the polish so the (common) clean
+        # branch can FREE the 4n² embedding eigenvectors first — at
+        # n=16384 that buffer plus the polish transients exceeds the chip.
+        with jax.default_matmul_precision(
+                (ctx or default_context()).config.matmul_precision):
+            defect = float(pair_defect(zr, zi))
+            if defect > 0.3:
+                zr, zi, _ = newton_schulz_unitarize(zr, zi, iters=2)
+                zfix = _host_cluster_fix(
+                    w, zr, zi, v2, eps=float(jnp.finfo(zr.dtype).eps))
+                zr = jnp.asarray(np.ascontiguousarray(zfix.real))
+                zi = jnp.asarray(np.ascontiguousarray(zfix.imag))
+            else:
+                del v2
+                zr, zi, _ = newton_schulz_unitarize(zr, zi, iters=2,
+                                                    donate=True)
         z = ComplexPair(zr, zi)
     elapsed = time.perf_counter() - t0
     info = SolveInfo(
