@@ -42,15 +42,28 @@ def main():
     w, z, info = eigen_h(h)
     print(f"first solve (incl. compile): {time.perf_counter()-t0:.1f} s "
           f"(info.elapsed {info.elapsed:.2f} s)", flush=True)
-    w2, z2, info2 = eigen_h(h)
-    print(f"warm solve: {info2.elapsed:.2f} s", flush=True)
-
-    # bitwise double-run repro (device-side compare)
     if isinstance(z, ComplexPair):
-        repro = (bool(jnp.array_equal(w, w2))
-                 and bool(jnp.array_equal(z[0], z2[0]))
-                 and bool(jnp.array_equal(z[1], z2[1])))
+        # park the first result on the HOST so the warm solve has the
+        # whole chip (at n=16384 a pinned ComplexPair + the solve's
+        # working set exceeds the HBM)
+        w_h = np.asarray(w)
+        z0r = np.asarray(z[0])
+        z0i = np.asarray(z[1])
+        del w, z
+        w2, z2, info2 = eigen_h(h)
+        print(f"warm solve: {info2.elapsed:.2f} s", flush=True)
+        repro = (np.array_equal(w_h, np.asarray(w2))
+                 and np.array_equal(z0r, np.asarray(z2[0]))
+                 and np.array_equal(z0i, np.asarray(z2[1])))
+        del z0r, z0i
+        w, z = w2, z2
         del w2, z2
+    else:
+        w2, z2, info2 = eigen_h(h)
+        print(f"warm solve: {info2.elapsed:.2f} s", flush=True)
+
+    if isinstance(z, ComplexPair):
+        # (repro already computed above via the host roundtrip)
         # device-side checks through the real pair (a host complex GEMM
         # at n=16384 takes ~40 min; the chip streams it in seconds):
         #   A·Z = (Ar·Zr − Ai·Zi) + i·(Ar·Zi + Ai·Zr)
