@@ -222,6 +222,28 @@ _merge_level_chunked_jit = functools.partial(
 _LEVEL_CHUNK_MIN = 16384
 _LEVEL_CHUNK_PANEL = 1024
 
+# levels whose merged width is at most this are traced into ONE program
+# by the eager orchestration (first-warm cost through the tunnel is ~1 s
+# of compile-cache deserialization PER PROGRAM — ~10 small-level
+# programs at n=32k were pure overhead; the bundle compiles like the
+# n=2048 fused tree)
+_LEVEL_FUSE_MAX = 2048
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vec_dtype", "n_iter", "work_dtype"))
+def _merge_levels_fused(w, q, row0, row1, rhos, sgns, *, vec_dtype,
+                        n_iter: int, work_dtype):
+    """A run of consecutive merge levels as ONE program (rhos/sgns: tuple
+    of per-level coupling arrays — the static pytree structure fixes the
+    level count)."""
+    for rho, sgn in zip(rhos, sgns):
+        w, q, row0, row1 = _merge_level(
+            w, q, row0, row1, rho, sgn,
+            vec_dtype=vec_dtype, n_iter=n_iter, work_dtype=work_dtype)
+    return w, q, row0, row1
+
 
 def _solve_tridiag_host(d, e, leaf: int, vec_dtype, n_iter: int):
     """Eager host-orchestrated tree: numpy secular merges (true f64, zero
@@ -348,12 +370,30 @@ def _solve_tridiag_level(d, e, leaf: int, vec_dtype, n_iter: int,
     row1 = q[:, -1, :]
     q = q.astype(vec_dtype)
 
-    for lvl in range(levels):
+    def _coupling(lvl):
         s = leaf * (2**lvl)
         cut_pos = np.arange(s, m, 2 * s)
         rho = jnp.asarray(np.abs(e_pad[cut_pos - 1]).astype(np_wdt))
         sgn = jnp.asarray(
             np.where(e_pad[cut_pos - 1] >= 0, 1.0, -1.0).astype(np_wdt))
+        return rho, sgn
+
+    # bundle the consecutive SMALL levels into one program
+    n_small = 0
+    while (n_small < levels
+           and 2 * leaf * (2**n_small) <= _LEVEL_FUSE_MAX):
+        n_small += 1
+    if n_small > 0:
+        cps = [_coupling(lvl) for lvl in range(n_small)]
+        w, q, row0, row1 = _merge_levels_fused(
+            w, q, row0, row1,
+            tuple(c[0] for c in cps), tuple(c[1] for c in cps),
+            vec_dtype=jnp.dtype(vec_dtype), n_iter=n_iter,
+            work_dtype=jnp.dtype(wdt))
+
+    for lvl in range(n_small, levels):
+        s = leaf * (2**lvl)
+        rho, sgn = _coupling(lvl)
         if 2 * s >= _LEVEL_CHUNK_MIN:
             w, q, row0, row1 = _merge_level_chunked_jit(
                 w, q, row0, row1, rho, sgn,
