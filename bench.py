@@ -162,8 +162,11 @@ def main():
             large = {"n16384_error": str(e)[:120]}
         # the BASELINE-tracked size: n=32768 full-spectrum on one chip
         # (r05).  Warm-cache only; checks are column-streamed so
-        # A + Z + A·Z never coexist on the 16 GB chip.
+        # A + Z + A·Z never coexist on the 16 GB chip.  Every n=8192
+        # device array is dropped first — ~2 GB of pinned buffers is the
+        # difference between fitting and RESOURCE_EXHAUSTED at 32k.
         try:
+            del results, w, z, w2, z2, wx, zx, a
             n_x = 32768
             w_x, z_x, info_x = eigen_s(frank(n_x, dtype=jnp.float32),
                                        ctx=ctx)
